@@ -1,0 +1,345 @@
+'''Video/raw-frame io: 16-bit raw ``.dat`` reader with coalesced random access,
+ffmpeg-backed compressed readers/writers (gated on ffmpeg availability).
+
+Parity targets: m2de/io/video.py (raw reader :28-127, block coalescing
+:130-147, ffprobe :163-219, ffv1 writer :223-276, ffmpeg reader :279-354,
+preview writer :358-436,519-555).
+'''
+import datetime
+import logging
+import os
+import shutil
+import subprocess
+import tarfile
+import tempfile
+from itertools import groupby
+from operator import itemgetter
+from typing import IO, Iterable, List, Optional, Tuple, TypeVar, TypedDict, Union
+
+import numpy as np
+
+FFMPEG = shutil.which('ffmpeg')
+FFPROBE = shutil.which('ffprobe')
+
+
+class RawVideoInfo(TypedDict):
+    '''Metadata for raw uncompressed depth data.'''
+    bytes: int
+    nframes: int
+    dims: Tuple[int, int]
+    bytes_per_frame: int
+
+
+T = TypeVar('T', int, float)
+
+
+def collapse_consecutive_values(values: Iterable[T]) -> List[Tuple[T, int]]:
+    '''Collapse sorted values into (start, run_length) tuples for coalesced reads.'''
+    grouped = []
+    for _, group in groupby(enumerate(values), lambda ix: ix[0] - ix[1]):
+        local = list(map(itemgetter(1), group))
+        grouped.append((local[0], len(local)))
+    return grouped
+
+
+def get_raw_info(filename: Union[str, tarfile.TarInfo], bit_depth: int = 16,
+                 frame_dims: Tuple[int, int] = (512, 424)) -> RawVideoInfo:
+    '''Compute frame count/shape info for a raw ``.dat`` file (or tar member).'''
+    bytes_per_frame = int((frame_dims[0] * frame_dims[1] * bit_depth) / 8)
+    nbytes = filename.size if isinstance(filename, tarfile.TarInfo) else os.stat(filename).st_size
+    return {
+        'bytes': nbytes,
+        'nframes': int(nbytes / bytes_per_frame),
+        'dims': frame_dims,
+        'bytes_per_frame': bytes_per_frame,
+    }
+
+
+def read_frames_raw(filename: Union[str, tarfile.TarInfo],
+                    frames: Optional[Union[int, Iterable[int]]] = None,
+                    frame_dims: Tuple[int, int] = (512, 424), bit_depth: int = 16,
+                    dtype='<i2', tar_object: Optional[tarfile.TarFile] = None) -> np.ndarray:
+    '''Read frames from a raw 16-bit little-endian ``.dat`` file.
+
+    Random access indices are coalesced into consecutive seek/read blocks.
+    Returns array of shape (nframes, height, width).
+    '''
+    info = get_raw_info(filename, bit_depth=bit_depth, frame_dims=frame_dims)
+
+    if isinstance(frames, (int, np.integer)):
+        frames = [int(frames)]
+    elif frames is not None:
+        frames = [int(i) for i in frames]
+    if not frames:
+        frames = list(range(info['nframes']))
+
+    blocks = []
+    for start, nframes in collapse_consecutive_values(sorted(frames)):
+        blocks.append({
+            'seek': max(0, start * info['bytes_per_frame']),
+            'nbytes': nframes * info['bytes_per_frame'],
+            'shape': (nframes, frame_dims[1], frame_dims[0]),
+            'idxs': [frames.index(start + i) for i in range(nframes)],
+        })
+
+    out = np.empty((len(frames), frame_dims[1], frame_dims[0]), dtype=np.dtype(dtype))
+
+    if tar_object is not None:
+        member = tar_object.extractfile(filename)
+        if member is None:
+            raise FileNotFoundError(f'could not open tar member {filename}')
+        with member:
+            for blk in blocks:
+                member.seek(blk['seek'])
+                chunk = member.read(blk['nbytes'])
+                out[blk['idxs'], ...] = np.frombuffer(chunk, dtype=np.dtype(dtype)).reshape(blk['shape'])
+    elif isinstance(filename, (str, os.PathLike)):
+        with open(filename, 'rb') as fh:
+            for blk in blocks:
+                fh.seek(blk['seek'])
+                chunk = np.fromfile(fh, dtype=np.dtype(dtype),
+                                    count=blk['shape'][0] * frame_dims[0] * frame_dims[1])
+                out[blk['idxs'], ...] = chunk.reshape(blk['shape'])
+    else:
+        raise ValueError(f'cannot read frames from {filename!r} without a tar object')
+
+    return out
+
+
+class FFProbeInfo(TypedDict):
+    '''Results of an ffprobe metadata query.'''
+    file: str
+    codec: str
+    pixel_format: str
+    dims: Tuple[int, int]
+    fps: float
+    nframes: int
+
+
+def _require_ffmpeg():
+    if FFMPEG is None or FFPROBE is None:
+        raise RuntimeError('ffmpeg/ffprobe not available on this host; '
+                           'compressed video paths require them. Raw .dat sessions work without.')
+
+
+def _stage_tar_member(filename: tarfile.TarInfo, tar_object: tarfile.TarFile) -> str:
+    tmp = tempfile.NamedTemporaryFile(delete=False, suffix=os.path.splitext(filename.name)[1])
+    member = tar_object.extractfile(filename)
+    if member is None:
+        raise FileNotFoundError(f'could not open tar member {filename}')
+    with member:
+        shutil.copyfileobj(member, tmp)
+    tmp.close()
+    return tmp.name
+
+
+def get_video_info(filename: Union[str, tarfile.TarInfo],
+                   tar_object: Optional[tarfile.TarFile] = None) -> FFProbeInfo:
+    '''Probe a compressed video for codec/dims/fps/frame count via ffprobe.'''
+    _require_ffmpeg()
+    staged = None
+    if isinstance(filename, tarfile.TarInfo):
+        assert tar_object is not None
+        staged = _stage_tar_member(filename, tar_object)
+        probe_filename = staged
+    else:
+        probe_filename = filename
+
+    command = [FFPROBE, '-v', 'fatal', '-show_entries',
+               'stream=width,height,r_frame_rate,nb_frames,codec_name,pix_fmt',
+               '-of', 'default=noprint_wrappers=1:nokey=1', probe_filename, '-sexagesimal']
+    proc = subprocess.run(command, capture_output=True, check=False)
+    if staged:
+        os.remove(staged)
+    if proc.returncode != 0:
+        raise RuntimeError(f'ffprobe failed: {proc.stderr.decode()}')
+    lines = proc.stdout.decode().split(os.linesep)
+    num, den = lines[4].split('/')
+    return {
+        'file': probe_filename,
+        'codec': lines[0],
+        'pixel_format': lines[3],
+        'dims': (int(lines[1]), int(lines[2])),
+        'fps': float(num) / float(den),
+        'nframes': int(lines[5]),
+    }
+
+
+def write_frames(filename: str, frames: np.ndarray, threads: int = 6, fps: int = 30,
+                 pixel_format: str = 'gray16le', codec: str = 'ffv1',
+                 close_pipe: bool = True, pipe=None, slices: int = 24,
+                 slicecrc: int = 1, frame_size: Optional[str] = None):
+    '''Stream uint16 frames to a lossless ffv1 avi via an ffmpeg stdin pipe.'''
+    _require_ffmpeg()
+    if frame_size is None:
+        frame_size = f'{frames.shape[2]:d}x{frames.shape[1]:d}'
+    command = [FFMPEG, '-y', '-loglevel', 'fatal', '-framerate', str(fps),
+               '-f', 'rawvideo', '-s', frame_size, '-pix_fmt', pixel_format,
+               '-i', '-', '-an', '-vcodec', codec, '-threads', str(threads),
+               '-slices', str(slices), '-slicecrc', str(slicecrc), '-r', str(fps), filename]
+    if pipe is None:
+        pipe = subprocess.Popen(command, stdin=subprocess.PIPE, stderr=subprocess.PIPE)
+    for i in range(frames.shape[0]):
+        pipe.stdin.write(frames[i].astype('uint16').tobytes())
+    if close_pipe:
+        pipe.stdin.close()
+        pipe.wait()
+        return None
+    return pipe
+
+
+def read_frames(filename: Union[str, tarfile.TarInfo], frames=None, threads: int = 6,
+                fps: int = 30, pixel_format: str = 'gray16le',
+                frame_size: Optional[Tuple[int, int]] = None, slices: int = 24,
+                slicecrc: int = 1, tar_object: Optional[tarfile.TarFile] = None, **_) -> np.ndarray:
+    '''Decode frames from a compressed video through an ffmpeg rawvideo pipe.'''
+    _require_ffmpeg()
+    staged = None
+    if isinstance(filename, tarfile.TarInfo):
+        assert tar_object is not None
+        staged = _stage_tar_member(filename, tar_object)
+        frames_filename = staged
+    else:
+        frames_filename = filename
+
+    try:
+        finfo = get_video_info(frames_filename)
+        if frames is None or len(frames) == 0:
+            frames = list(range(finfo['nframes']))
+        else:
+            frames = [int(f) for f in frames]
+        if not frame_size:
+            frame_size = finfo['dims']
+
+        if pixel_format == 'gray16le':
+            dtype, tail_shape = 'uint16', (frame_size[1], frame_size[0])
+        elif pixel_format == 'rgb24':
+            dtype, tail_shape = 'uint8', (frame_size[1], frame_size[0], 3)
+        else:
+            raise ValueError(f'unsupported pixel format {pixel_format}')
+
+        out = np.empty((len(frames), *tail_shape), dtype)
+        for start, nframes in collapse_consecutive_values(sorted(frames)):
+            command = [FFMPEG, '-loglevel', 'fatal',
+                       '-ss', str(datetime.timedelta(seconds=start / fps)),
+                       '-i', frames_filename, '-vframes', str(nframes),
+                       '-f', 'image2pipe', '-s', f'{frame_size[0]:d}x{frame_size[1]:d}',
+                       '-pix_fmt', pixel_format, '-threads', str(threads),
+                       '-slices', str(slices), '-slicecrc', str(slicecrc),
+                       '-vcodec', 'rawvideo', '-']
+            proc = subprocess.run(command, capture_output=True, check=False)
+            if proc.returncode != 0:
+                raise RuntimeError(proc.stderr.decode())
+            idxs = [frames.index(start + i) for i in range(nframes)]
+            out[idxs] = np.frombuffer(proc.stdout, dtype=dtype).reshape((nframes, *tail_shape))
+        return out
+    finally:
+        if staged:
+            os.remove(staged)
+
+
+def load_movie_data(filename: Union[str, tarfile.TarInfo], frames=None,
+                    frame_dims: Tuple[int, int] = (512, 424), bit_depth: int = 16,
+                    **kwargs) -> np.ndarray:
+    '''Dispatch frame loading by file extension (.dat raw vs .avi/.mp4 ffmpeg).'''
+    fname = (filename.name if isinstance(filename, tarfile.TarInfo) else filename).lower()
+    if isinstance(frames, (int, np.integer)):
+        frames = [int(frames)]
+    if fname.endswith('.dat'):
+        return read_frames_raw(filename, frames=frames, frame_dims=frame_dims,
+                               bit_depth=bit_depth, **kwargs)
+    if fname.endswith(('.avi', '.mp4')):
+        return read_frames(filename, frames, **kwargs)
+    raise RuntimeError(f'unknown movie format: {fname}')
+
+
+def get_movie_info(filename: Union[str, tarfile.TarInfo],
+                   frame_dims: Tuple[int, int] = (512, 424), bit_depth: int = 16,
+                   tar_object: Optional[tarfile.TarFile] = None):
+    '''Dispatch movie metadata probing by file extension.'''
+    fname = (filename.name if isinstance(filename, tarfile.TarInfo) else filename).lower()
+    if fname.endswith('.dat'):
+        return get_raw_info(filename, frame_dims=frame_dims, bit_depth=bit_depth)
+    if fname.endswith(('.avi', '.mp4')):
+        return get_video_info(filename, tar_object=tar_object)
+    raise RuntimeError(f'unknown movie format: {fname}')
+
+
+def apply_colormap_jet(frames: np.ndarray, vmin: float = 0, vmax: float = 100) -> np.ndarray:
+    '''False-color single channel frames with a jet-like colormap → uint8 RGB.'''
+    x = np.clip((frames.astype('float32') - vmin) / max(vmax - vmin, 1e-6), 0.0, 1.0)
+    # piecewise-linear jet approximation (vectorized, no matplotlib dependency)
+    r = np.clip(1.5 - np.abs(4.0 * x - 3.0), 0, 1)
+    g = np.clip(1.5 - np.abs(4.0 * x - 2.0), 0, 1)
+    b = np.clip(1.5 - np.abs(4.0 * x - 1.0), 0, 1)
+    return (np.stack([r, g, b], axis=-1) * 255).astype('uint8')
+
+
+class PreviewVideoWriter:
+    '''Stateful preview mp4 writer.
+
+    Uses an ffmpeg h264 pipe when ffmpeg is present (parity with
+    m2de/io/video.py:519-555); otherwise falls back to cv2.VideoWriter so
+    preview output still works on hosts without ffmpeg.
+    '''
+
+    def __init__(self, filename: str, fps: int = 30, vmin: float = 0,
+                 vmax: float = 100) -> None:
+        self.filename = filename
+        self.fps = fps
+        self.vmin = vmin
+        self.vmax = vmax
+        self._pipe = None
+        self._cvwriter = None
+
+    def _frame_to_rgb(self, frame: np.ndarray, frame_no: Optional[int]) -> np.ndarray:
+        if frame.ndim == 2:
+            rgb = apply_colormap_jet(frame[None], self.vmin, self.vmax)[0]
+        else:
+            rgb = frame.astype('uint8')
+        if frame_no is not None:
+            try:
+                import cv2
+                cv2.putText(rgb, str(frame_no), (5, rgb.shape[0] - 40),
+                            cv2.FONT_HERSHEY_SIMPLEX, 1, (255, 255, 255), 2, cv2.LINE_AA)
+            except ImportError:  # pragma: no cover
+                pass
+        return rgb
+
+    def write_frames(self, frame_idxs: np.ndarray, frames: np.ndarray) -> None:
+        '''Append ``frames`` (gray or RGB) to the preview video.'''
+        if frames.shape[1] % 2:
+            frames = np.pad(frames, ((0, 0), (0, 1)) + ((0, 0),) * (frames.ndim - 2))
+        if frames.shape[2] % 2:
+            frames = np.pad(frames, ((0, 0), (0, 0), (0, 1)) + ((0, 0),) * (frames.ndim - 3))
+
+        for i in range(frames.shape[0]):
+            rgb = self._frame_to_rgb(frames[i], int(frame_idxs[i]) if frame_idxs is not None else None)
+            if FFMPEG is not None:
+                if self._pipe is None:
+                    frame_size = f'{rgb.shape[1]:d}x{rgb.shape[0]:d}'
+                    command = [FFMPEG, '-y', '-loglevel', 'fatal', '-threads', '2',
+                               '-framerate', str(self.fps), '-f', 'rawvideo', '-s', frame_size,
+                               '-pix_fmt', 'rgb24', '-i', '-', '-an', '-vcodec', 'h264',
+                               '-r', str(self.fps), '-pix_fmt', 'yuv420p',
+                               '-tune', 'zerolatency', '-preset', 'ultrafast', self.filename]
+                    self._pipe = subprocess.Popen(command, stdin=subprocess.PIPE,
+                                                  stderr=subprocess.PIPE)
+                self._pipe.stdin.write(rgb.tobytes())
+            else:
+                import cv2
+                if self._cvwriter is None:
+                    fourcc = cv2.VideoWriter_fourcc(*'mp4v')
+                    self._cvwriter = cv2.VideoWriter(self.filename, fourcc, self.fps,
+                                                     (rgb.shape[1], rgb.shape[0]))
+                self._cvwriter.write(rgb[..., ::-1])  # BGR for cv2
+
+    def close(self) -> None:
+        '''Finalize the video file.'''
+        if self._pipe is not None:
+            self._pipe.stdin.close()
+            self._pipe.wait()
+            self._pipe = None
+        if self._cvwriter is not None:
+            self._cvwriter.release()
+            self._cvwriter = None
