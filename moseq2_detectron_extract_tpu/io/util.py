@@ -6,6 +6,7 @@ unextracted-session scan :378-409, batch command wrappers :425-492).
 '''
 import json
 import logging
+import logging.handlers
 import os
 import sys
 import uuid
@@ -179,7 +180,7 @@ class TqdmStreamHandler(logging.StreamHandler):
             self.handleError(record)
 
 
-_MEMORY_HANDLER: Optional[logging.handlers.MemoryHandler] = None  # type: ignore[name-defined]
+_MEMORY_HANDLER: Optional[logging.handlers.MemoryHandler] = None
 
 
 def setup_logging(level: int = logging.INFO, add_defered_file_handler: bool = False) -> None:
@@ -189,7 +190,6 @@ def setup_logging(level: int = logging.INFO, add_defered_file_handler: bool = Fa
     until :func:`attach_file_logger` is called so that early records reach the
     per-run log file (mirrors m2de/io/util.py:179-236).
     '''
-    import logging.handlers
     global _MEMORY_HANDLER
 
     root = logging.getLogger()

@@ -1,0 +1,486 @@
+'''Kalman filtering/smoothing/EM (pykalman replacement).
+
+Parity target: m2de/proc/kalman.py. The reference composes constant-jerk
+(order-3) trackers via block-diagonal transition/observation matrices and
+wraps pykalman for EM init (10 iters), chunked smoothing with carried state,
+and streaming filter updates. EM uses Shumway–Stoffer updates for the same
+em_vars (transition_covariance, observation_covariance,
+initial_state_covariance).
+
+The numerical core runs on host in float64 numpy: the state is at most
+~54-dimensional, so per-chunk cost is microseconds, while float32 (the only
+practical TPU precision) is not enough for EM on a near-degenerate
+constant-jerk state covariance. The heavy image work stays on device; only
+these tiny recurrences live on host.
+
+Deviations (documented):
+- ``sample`` returns the deterministic mean prediction A^n @ state instead of
+  pykalman's stochastic draw (the reference uses sample() as a 1-step
+  predictor; the mean is the intended estimate).
+- Missing data: a timestep with any non-finite observation component is
+  treated as fully missing (pykalman's masked-row behavior).
+- EM covariances are eigenvalue-clipped to stay PSD.
+'''
+from abc import ABC, abstractmethod
+from typing import NamedTuple, Optional, Sequence
+
+import numpy as np
+import scipy.linalg
+
+
+def timestamps_to_steps(timestamps, step_size=(1 / 30 * 1000)):
+    '''Discrete time steps between observations (m2de/proc/kalman.py:10-20).'''
+    return np.rint(np.diff(timestamps) / step_size).astype(int)
+
+
+def expand_missing_entries(data, time_steps):
+    '''Insert masked rows where observations are missing
+    (m2de/proc/kalman.py:23-58).'''
+    out_shape = (int(np.sum(time_steps)) + 1, *data.shape[1:])
+    full = np.zeros(out_shape, dtype=data.dtype)
+    mask = np.zeros(out_shape, dtype=int)
+    i = 0
+    j = 0
+    for j, k in enumerate(time_steps):
+        full[i] = data[j]
+        if k > 1:
+            mask[i + 1:i + k] = 1
+        i += k
+    full[i] = data[j + 1]
+    return np.ma.masked_array(full, mask=mask)
+
+
+def reduce_missing_entries(data, time_steps):
+    '''Remove rows at missing timesteps (inverse of
+    :func:`expand_missing_entries`; m2de/proc/kalman.py:61-90).'''
+    reduced = np.zeros((time_steps.shape[0] + 1, *data.shape[1:]), dtype=data.dtype)
+    i = 0
+    j = 0
+    for j, k in enumerate(time_steps):
+        reduced[j] = data[i]
+        i += k
+    reduced[j + 1] = data[i]
+    return reduced
+
+
+def angle_difference(angles1, angles2):
+    '''Smallest signed angle difference in degrees (m2de/proc/kalman.py:93-98).'''
+    from moseq2_detectron_extract_tpu.proc.angles import angle_difference as _ad
+    return np.asarray(_ad(angles1, angles2))
+
+
+class KalmanParams(NamedTuple):
+    '''Linear-Gaussian state-space parameters (float64 numpy).'''
+    transition: np.ndarray        # (S, S)
+    observation: np.ndarray       # (O, S)
+    transition_cov: np.ndarray    # (S, S)
+    observation_cov: np.ndarray   # (O, O)
+    initial_mean: np.ndarray      # (S,)
+    initial_cov: np.ndarray       # (S, S)
+
+
+def _symmetrize(m):
+    return 0.5 * (m + m.T)
+
+
+def _clip_psd(m, eps: float = 1e-9):
+    '''Project a symmetric matrix onto the PSD cone (eigenvalue clipping).'''
+    vals, vecs = np.linalg.eigh(_symmetrize(m))
+    vals = np.maximum(vals, eps)
+    return _symmetrize((vecs * vals) @ vecs.T)
+
+
+def kalman_filter_step(params: KalmanParams, mean, cov, obs, missing):
+    '''One predict+update step. ``missing`` True skips the measurement update.
+
+    Returns (filtered_mean, filtered_cov, predicted_mean, predicted_cov).
+    '''
+    A, C = params.transition, params.observation
+    pred_mean = A @ mean
+    pred_cov = _symmetrize(A @ cov @ A.T + params.transition_cov)
+
+    if missing:
+        return pred_mean, pred_cov, pred_mean, pred_cov
+
+    innov = obs - C @ pred_mean
+    S = C @ pred_cov @ C.T + params.observation_cov
+    K = np.linalg.solve(S, C @ pred_cov).T  # P C' S^{-1}
+    new_mean = pred_mean + K @ innov
+    new_cov = _symmetrize(pred_cov - K @ C @ pred_cov)
+    return new_mean, new_cov, pred_mean, pred_cov
+
+
+def kalman_filter(params: KalmanParams, observations, missing):
+    '''Forward filter over (T, O) observations with per-timestep missing flags.
+
+    The first timestep updates the prior (initial_mean/cov) directly like
+    pykalman (no transition before t=0). Returns dict of filtered/predicted
+    means and covariances.
+    '''
+    observations = np.asarray(observations, dtype=np.float64)
+    missing = np.asarray(missing, dtype=bool)
+    A, C = params.transition, params.observation
+    T = observations.shape[0]
+    S_dim = A.shape[0]
+
+    means = np.empty((T, S_dim))
+    covs = np.empty((T, S_dim, S_dim))
+    pred_means = np.empty((T, S_dim))
+    pred_covs = np.empty((T, S_dim, S_dim))
+
+    # t = 0: measurement update of the prior
+    pred_means[0] = params.initial_mean
+    pred_covs[0] = params.initial_cov
+    if missing[0]:
+        means[0], covs[0] = params.initial_mean, params.initial_cov
+    else:
+        innov = observations[0] - C @ params.initial_mean
+        S = C @ params.initial_cov @ C.T + params.observation_cov
+        K = np.linalg.solve(S, C @ params.initial_cov).T
+        means[0] = params.initial_mean + K @ innov
+        covs[0] = _symmetrize(params.initial_cov - K @ C @ params.initial_cov)
+
+    for t in range(1, T):
+        means[t], covs[t], pred_means[t], pred_covs[t] = kalman_filter_step(
+            params, means[t - 1], covs[t - 1], observations[t], missing[t])
+
+    return {'means': means, 'covs': covs,
+            'pred_means': pred_means, 'pred_covs': pred_covs}
+
+
+def kalman_smooth(params: KalmanParams, observations, missing):
+    '''RTS smoother. Returns smoothed means/covs and lag-one covariances
+    (V_{t+1, t | T} for t = 0..T-2) for EM.'''
+    filt = kalman_filter(params, observations, missing)
+    A = params.transition
+    T = filt['means'].shape[0]
+    S_dim = A.shape[0]
+
+    s_means = np.empty_like(filt['means'])
+    s_covs = np.empty_like(filt['covs'])
+    lag_ones = np.empty((T - 1, S_dim, S_dim))
+    s_means[-1] = filt['means'][-1]
+    s_covs[-1] = filt['covs'][-1]
+
+    for t in range(T - 2, -1, -1):
+        f_mean, f_cov = filt['means'][t], filt['covs'][t]
+        next_pred_mean, next_pred_cov = filt['pred_means'][t + 1], filt['pred_covs'][t + 1]
+        J = np.linalg.solve(next_pred_cov, A @ f_cov).T  # f_cov A' P^{-1}
+        s_means[t] = f_mean + J @ (s_means[t + 1] - next_pred_mean)
+        s_covs[t] = _symmetrize(f_cov + J @ (s_covs[t + 1] - next_pred_cov) @ J.T)
+        lag_ones[t] = s_covs[t + 1] @ J.T  # V_{t+1, t | T}
+
+    return {'means': s_means, 'covs': s_covs, 'lag_one_covs': lag_ones,
+            'filtered': filt}
+
+
+def _em_step(params: KalmanParams, observations, missing):
+    sm = kalman_smooth(params, observations, missing)
+    mu, V, lag = sm['means'], sm['covs'], sm['lag_one_covs']
+    A, C = params.transition, params.observation
+    T = observations.shape[0]
+
+    # sufficient statistics
+    Ext_xt = V + np.einsum('ti,tj->tij', mu, mu)                # E[x_t x_t']
+    Ext1_xt = lag + np.einsum('ti,tj->tij', mu[1:], mu[:-1])    # E[x_{t+1} x_t']
+
+    # transition covariance: Q = mean(C_t - B_t A' - A B_t' + A D_t A')
+    sum_B_At = np.einsum('tij,kj->ik', Ext1_xt, A)  # sum_t B_t A'
+    Q = (np.sum(Ext_xt[1:], axis=0) - sum_B_At - sum_B_At.T
+         + A @ np.sum(Ext_xt[:-1], axis=0) @ A.T) / (T - 1)
+    Q = _clip_psd(Q)
+
+    # observation covariance over observed timesteps only
+    obs_w = (~np.asarray(missing, bool)).astype(np.float64)
+    resid = (np.asarray(observations, np.float64) - mu @ C.T) * obs_w[:, None]
+    R_resid = resid.T @ resid
+    CVCt = np.einsum('ij,tjk,lk->til', C, V, C)
+    R_state = np.einsum('t,til->il', obs_w, CVCt)
+    nobs = max(obs_w.sum(), 1.0)
+    R = _clip_psd((R_resid + R_state) / nobs)
+
+    # initial state covariance
+    d0 = mu[0] - params.initial_mean
+    S0 = _clip_psd(V[0] + np.outer(d0, d0))
+
+    return params._replace(transition_cov=Q, observation_cov=R, initial_cov=S0)
+
+
+def kalman_em(params: KalmanParams, observations, missing, n_iter: int = 10) -> KalmanParams:
+    '''EM for (transition_cov, observation_cov, initial_cov); matches the
+    reference's em_vars selection (m2de/proc/kalman.py:322-333).'''
+    observations = np.asarray(observations, dtype=np.float64)
+    missing = np.asarray(missing, dtype=bool)
+    for _ in range(n_iter):
+        params = _em_step(params, observations, missing)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# tracker-item specifications (block-diagonal matrix builders)
+# ---------------------------------------------------------------------------
+
+class KalmanTrackerItem(ABC):
+    '''Spec for one tracked quantity (m2de/proc/kalman.py:101-141).'''
+
+    def __init__(self, order: int = 3, delta_t: float = 1.0):
+        self.order = order
+        self.delta_t = delta_t
+
+    @property
+    def state_size(self) -> int:
+        '''Size of this item's state block.'''
+        return np.atleast_2d(self.build_observ_mat()).shape[-1]
+
+    @abstractmethod
+    def build_trans_mat(self) -> np.ndarray:
+        '''Transition matrix block.'''
+
+    @abstractmethod
+    def build_observ_mat(self) -> np.ndarray:
+        '''Observation matrix block.'''
+
+    @abstractmethod
+    def build_init_state_means(self, data: np.ndarray) -> np.ndarray:
+        '''Initial state mean block.'''
+
+    def format_data(self, data: np.ndarray) -> np.ndarray:
+        '''Map user data to observation columns.'''
+        return data
+
+    def inverse_format_data(self, data: np.ndarray) -> np.ndarray:
+        '''Map state rows back to user data (keep every order-th column).'''
+        return data[:, ::self.order]
+
+
+class KalmanTrackerPoint1D(KalmanTrackerItem):
+    '''Constant-jerk 1D point (m2de/proc/kalman.py:143-190).'''
+
+    def _derivatives(self):
+        dt = self.delta_t
+        return [1.0, dt, dt ** 2 / 2, dt ** 3 / 6][:self.order]
+
+    def build_trans_mat(self):
+        derivs = self._derivatives()
+        mat = np.zeros((self.order, self.order))
+        for d in range(self.order):
+            for i, j in enumerate(range(d, self.order)):
+                mat[d, j] = derivs[i]
+        return mat
+
+    def build_observ_mat(self):
+        mat = np.zeros((self.order,))
+        mat[0] = 1
+        return mat
+
+    def build_init_state_means(self, data: np.ndarray):
+        means = np.zeros((self.order,))
+        data = np.asarray(data)
+        if data.shape[0] > 0:
+            first = data[0]
+            means[0] = first if np.isfinite(first) else 0.0
+        return means
+
+
+class KalmanTrackerPoint2D(KalmanTrackerPoint1D):
+    '''Constant-jerk 2D point.'''
+
+    def build_trans_mat(self):
+        one = super().build_trans_mat()
+        return scipy.linalg.block_diag(one, one)
+
+    def build_observ_mat(self):
+        one = super().build_observ_mat()
+        return scipy.linalg.block_diag(one, one)
+
+    def build_init_state_means(self, data: np.ndarray):
+        return np.hstack((super().build_init_state_means(data[:, 0]),
+                          super().build_init_state_means(data[:, 1])))
+
+
+class KalmanTrackerAngle(KalmanTrackerPoint2D):
+    '''Angle tracked on the unit circle as (sin, cos)
+    (m2de/proc/kalman.py:212-236).'''
+
+    def __init__(self, order: int = 3, delta_t: float = 1.0, degrees: bool = True):
+        super().__init__(order=order, delta_t=delta_t)
+        self.degrees = degrees
+
+    def build_init_state_means(self, data: np.ndarray):
+        return super().build_init_state_means(self.format_data(np.asarray(data)))
+
+    def format_data(self, data: np.ndarray):
+        data = np.asarray(data, dtype=float)
+        if self.degrees:
+            data = np.deg2rad(data)
+        return np.column_stack([np.sin(data), np.cos(data)])
+
+    def inverse_format_data(self, data: np.ndarray):
+        data = data[:, ::self.order]
+        angles = np.arctan2(data[:, 0], data[:, 1])
+        angles = np.where(angles < 0, 2 * np.pi + angles, angles)
+        if self.degrees:
+            angles = np.rad2deg(angles)
+        return angles
+
+
+class KalmanTrackerNPoints2D(KalmanTrackerPoint2D):
+    '''N 2D points tracked jointly (m2de/proc/kalman.py:239-278).'''
+
+    def __init__(self, n_points: int, order: int = 3, delta_t: float = 1.0):
+        self.n_points = n_points
+        super().__init__(order, delta_t)
+
+    def build_trans_mat(self):
+        one = super().build_trans_mat()
+        return scipy.linalg.block_diag(*([one] * self.n_points))
+
+    def build_observ_mat(self):
+        one = super().build_observ_mat()
+        return scipy.linalg.block_diag(*([one] * self.n_points))
+
+    def build_init_state_means(self, data: np.ndarray):
+        one_point = super().build_init_state_means
+        return np.hstack([one_point(data[:, i, :]) for i in range(self.n_points)])
+
+    def format_data(self, data: np.ndarray) -> np.ndarray:
+        return np.asarray(data).reshape(data.shape[0], -1)
+
+    def inverse_format_data(self, data: np.ndarray) -> np.ndarray:
+        return data[:, ::self.order].reshape(data.shape[0], self.n_points, -1)
+
+
+class KalmanTracker:
+    '''Composable multi-item Kalman tracker (m2de/proc/kalman.py:281-418).
+
+    Holds device-side params + streaming state; smoothing/filtering run as
+    jitted scans per chunk with state carried across chunks.
+    '''
+
+    def __init__(self, items_to_track: Sequence[KalmanTrackerItem]):
+        if not items_to_track:
+            raise ValueError('need at least one KalmanTrackerItem')
+        timesteps = [item.delta_t for item in items_to_track]
+        if not np.allclose(timesteps, timesteps[0]):
+            raise ValueError('all items must share delta_t')
+        self.items = list(items_to_track)
+        self.params: Optional[KalmanParams] = None
+        self.last_mean: Optional[np.ndarray] = None
+        self.last_covar: Optional[np.ndarray] = None
+
+    @property
+    def is_initialized(self) -> bool:
+        '''True once initialize() has run.'''
+        return self.params is not None
+
+    # -- matrix assembly ----------------------------------------------------
+    def _build_trans_mat(self):
+        return scipy.linalg.block_diag(*[i.build_trans_mat() for i in self.items])
+
+    def _build_observ_mat(self):
+        return scipy.linalg.block_diag(*[i.build_observ_mat() for i in self.items])
+
+    def _build_init_state_means(self, init_data):
+        return np.hstack([item.build_init_state_means(np.asarray(init_data[i]))
+                          for i, item in enumerate(self.items)])
+
+    def _format_data(self, data):
+        cols = [item.format_data(np.asarray(data[i], dtype=float))
+                for i, item in enumerate(self.items)]
+        return np.column_stack(cols)
+
+    def _inverse_format_data(self, state_rows: np.ndarray):
+        out = []
+        offset = 0
+        for item in self.items:
+            out.append(item.inverse_format_data(state_rows[:, offset:offset + item.state_size]))
+            offset += item.state_size
+        return out
+
+    # -- lifecycle ----------------------------------------------------------
+    def initialize(self, init_data: Sequence[np.ndarray]) -> None:
+        '''Build matrices and run EM (10 iters) on the finite rows of
+        ``init_data`` (m2de/proc/kalman.py:312-337).'''
+        if len(init_data) != len(self.items):
+            raise ValueError('init_data length must match items')
+
+        A = self._build_trans_mat()
+        C = self._build_observ_mat()
+        S = A.shape[0]
+        O = C.shape[0]
+        mu0 = self._build_init_state_means(init_data)
+        params = KalmanParams(
+            transition=np.asarray(A, np.float64),
+            observation=np.asarray(C, np.float64),
+            transition_cov=np.eye(S),
+            observation_cov=np.eye(O),
+            initial_mean=np.asarray(mu0, np.float64),
+            initial_cov=np.eye(S),
+        )
+
+        obs = self._format_data(init_data)
+        finite_rows = np.isfinite(obs).all(axis=1)
+        if finite_rows.sum() > 1:
+            finite_obs = obs[finite_rows]
+            missing = np.zeros((finite_obs.shape[0],), bool)
+            params = kalman_em(params, finite_obs, missing, n_iter=10)
+
+        self.params = params
+        self.last_mean = np.asarray(params.initial_mean)
+        self.last_covar = np.asarray(params.initial_cov)
+
+    def _obs_and_missing(self, data):
+        obs = self._format_data(data)
+        missing = ~np.isfinite(obs).all(axis=1)
+        obs = np.nan_to_num(obs, nan=0.0, posinf=0.0, neginf=0.0)
+        return obs.astype(np.float64), missing
+
+    def smooth(self, data: Sequence[np.ndarray]):
+        '''Smooth a chunk without updating streaming state.'''
+        obs, missing = self._obs_and_missing(data)
+        sm = kalman_smooth(self.params, obs, missing)
+        return self._inverse_format_data(np.asarray(sm['means']))
+
+    def smooth_update(self, data: Sequence[np.ndarray]):
+        '''Smooth a chunk and carry the final state into the next chunk
+        (m2de/proc/kalman.py:386-400).'''
+        obs, missing = self._obs_and_missing(data)
+        if obs.shape[0] == 1:
+            return self.filter_update(data)
+        params = self.params._replace(initial_mean=np.asarray(self.last_mean, np.float64),
+                                      initial_cov=np.asarray(self.last_covar, np.float64))
+        sm = kalman_smooth(params, obs, missing)
+        means = np.asarray(sm['means'])
+        covs = np.asarray(sm['covs'])
+        self.last_mean = means[-1]
+        self.last_covar = covs[-1]
+        self.params = self.params._replace(initial_mean=means[-1], initial_cov=covs[-1])
+        return self._inverse_format_data(means)
+
+    def filter(self, data: Sequence[np.ndarray]):
+        '''Forward-filter a chunk without updating streaming state.'''
+        obs, missing = self._obs_and_missing(data)
+        filt = kalman_filter(self.params, obs, missing)
+        return self._inverse_format_data(np.asarray(filt['means']))
+
+    def filter_update(self, data: Sequence[np.ndarray]):
+        '''Streaming one-step filter update (m2de/proc/kalman.py:408-418).'''
+        obs, missing = self._obs_and_missing(data)
+        mean, cov, _, _ = kalman_filter_step(
+            self.params, np.asarray(self.last_mean, np.float64),
+            np.asarray(self.last_covar, np.float64), obs[0], bool(missing[0]))
+        self.last_mean = np.asarray(mean)
+        self.last_covar = np.asarray(cov)
+        return self._inverse_format_data(self.last_mean[None, :])
+
+    def sample(self, n_timesteps: int = 1, init_data=None):
+        '''Deterministic n-step-ahead mean prediction (the reference drew a
+        stochastic pykalman sample; see module docstring).'''
+        if init_data is not None:
+            state = self._build_init_state_means(init_data)
+        else:
+            state = np.asarray(self.last_mean)
+        A = np.asarray(self.params.transition)
+        for _ in range(n_timesteps):
+            state = A @ state
+        return self._inverse_format_data(state[None, :])

@@ -1,0 +1,278 @@
+'''Tests of the feature-processing layer vs numpy oracles.'''
+import numpy as np
+import pytest
+
+from moseq2_detectron_extract_tpu.proc.angles import (angle_difference, clamp_angles_deg,
+                                                      filter_angles,
+                                                      iterative_filter_angles)
+from moseq2_detectron_extract_tpu.proc.features import (clean_frames,
+                                                        compute_keypoint_alignment_scores,
+                                                        flips_from_keypoints,
+                                                        get_frame_features,
+                                                        instances_to_features)
+from moseq2_detectron_extract_tpu.proc.kalman import (KalmanParams, KalmanTracker,
+                                                      KalmanTrackerAngle,
+                                                      KalmanTrackerNPoints2D,
+                                                      KalmanTrackerPoint2D, kalman_em,
+                                                      kalman_filter, kalman_smooth)
+from moseq2_detectron_extract_tpu.proc.keypoints import (keypoints_to_dict,
+                                                         rotate_points,
+                                                         rotate_points_batch)
+from moseq2_detectron_extract_tpu.proc.scalars import compute_scalars
+
+import jax.numpy as jnp
+
+
+def np_move_median3(a):
+    out = np.empty_like(a, dtype=float)
+    for i in range(len(a)):
+        out[i] = np.median(a[max(0, i - 2):i + 1])
+    return out
+
+
+class TestAngles:
+    def test_clamp(self):
+        np.testing.assert_allclose(np.asarray(clamp_angles_deg(np.array([-10.0, 370.0, 350.0]))),
+                                   [350.0, 10.0, 350.0])
+
+    def test_angle_difference(self):
+        d = np.asarray(angle_difference(np.array([350.0, 10.0]), np.array([10.0, 350.0])))
+        np.testing.assert_allclose(d, [20.0, -20.0])
+
+    def test_filter_angles_oracle(self, rng):
+        angles = rng.uniform(0, 360, size=50).astype('float32')
+        # reference oracle (m2de/proc/proc.py:600-624) with trailing median
+        windows = np_move_median3(angles)
+        diff = angles - windows
+        absdiff = np.abs(diff)
+        fl = (absdiff > 120) & (absdiff < 240)
+        expect = angles.copy()
+        expect[fl] = expect[fl] - 180 * np.sign(diff[fl])
+        ours = np.asarray(filter_angles(angles, window=3, tolerance=60))
+        np.testing.assert_allclose(ours, expect, atol=1e-4)
+
+    def test_iterative_filter_fixes_isolated_flip(self):
+        angles = np.full(20, 30.0, dtype='float32')
+        angles[7] = 212.0  # ~180 off
+        out, flips = iterative_filter_angles(angles)
+        out = np.asarray(out)
+        assert abs(out[7] - 32.0) < 1e-3
+        assert np.asarray(flips)[7]
+
+
+class TestKalman:
+    def _params_1d(self):
+        A = np.array([[1.0, 1.0], [0.0, 1.0]])
+        C = np.array([[1.0, 0.0]])
+        return KalmanParams(
+            transition=jnp.asarray(A, jnp.float32),
+            observation=jnp.asarray(C, jnp.float32),
+            transition_cov=jnp.eye(2, dtype=jnp.float32) * 0.01,
+            observation_cov=jnp.eye(1, dtype=jnp.float32) * 1.0,
+            initial_mean=jnp.zeros(2, jnp.float32),
+            initial_cov=jnp.eye(2, dtype=jnp.float32),
+        )
+
+    def test_filter_tracks_line(self, rng):
+        params = self._params_1d()
+        t = np.arange(100, dtype='float32')
+        obs = (2.0 * t + rng.normal(0, 1.0, 100)).astype('float32')[:, None]
+        missing = np.zeros(100, bool)
+        filt = kalman_filter(params, jnp.asarray(obs), jnp.asarray(missing))
+        means = np.asarray(filt['means'])
+        # latter half should track the line closely
+        assert np.abs(means[50:, 0] - obs[50:, 0]).mean() < 1.5
+
+    def test_smoother_beats_filter(self, rng):
+        params = self._params_1d()
+        t = np.arange(200, dtype='float32')
+        truth = 0.5 * t
+        obs = (truth + rng.normal(0, 2.0, 200)).astype('float32')[:, None]
+        missing = np.zeros(200, bool)
+        filt = kalman_filter(params, jnp.asarray(obs), jnp.asarray(missing))
+        sm = kalman_smooth(params, jnp.asarray(obs), jnp.asarray(missing))
+        err_f = np.abs(np.asarray(filt['means'])[20:, 0] - truth[20:]).mean()
+        err_s = np.abs(np.asarray(sm['means'])[20:, 0] - truth[20:]).mean()
+        assert err_s < err_f
+
+    def test_missing_observations_skipped(self, rng):
+        params = self._params_1d()
+        obs = np.linspace(0, 50, 51, dtype='float32')[:, None]
+        missing = np.zeros(51, bool)
+        missing[20:30] = True
+        sm = kalman_smooth(params, jnp.asarray(obs), jnp.asarray(missing))
+        means = np.asarray(sm['means'])
+        # smoothed trajectory should interpolate through the gap
+        assert np.abs(means[25, 0] - 25.0) < 3.0
+
+    def test_em_improves_likelihood_proxy(self, rng):
+        params = self._params_1d()
+        t = np.arange(150, dtype='float32')
+        obs = (3.0 * t + rng.normal(0, 0.5, 150)).astype('float32')[:, None]
+        missing = jnp.zeros(150, bool)
+        fitted = kalman_em(params, jnp.asarray(obs), missing, n_iter=5)
+        # observation noise ~0.25 variance; EM should pull obs_cov toward it
+        assert float(fitted.observation_cov[0, 0]) < 1.0
+
+    def test_tracker_round_trip(self, rng):
+        tracker = KalmanTracker([KalmanTrackerPoint2D(order=3),
+                                 KalmanTrackerNPoints2D(3, order=3)])
+        t = np.arange(60)
+        centroid = np.stack([t * 1.0, t * 0.5], axis=1) + rng.normal(0, 0.1, (60, 2))
+        kpts = centroid[:, None, :] + rng.normal(0, 0.2, (60, 3, 2))
+        tracker.initialize([centroid, kpts])
+        assert tracker.is_initialized
+        s_centroid, s_kpts = tracker.smooth_update([centroid, kpts])
+        assert s_centroid.shape == (60, 2)
+        assert s_kpts.shape == (60, 3, 2)
+        assert np.abs(s_centroid[30:] - centroid[30:]).mean() < 1.0
+        # streaming update + sample
+        out, = tracker.sample(1) if False else (tracker.sample(1)[0],)
+        upd_c, upd_k = tracker.filter_update([centroid[-1:] + 1.0, kpts[-1:] + 1.0])
+        assert upd_c.shape == (1, 2)
+
+    def test_angle_tracker(self):
+        tracker = KalmanTracker([KalmanTrackerAngle(order=3, degrees=True)])
+        angles = np.linspace(0, 90, 50)
+        tracker.initialize([angles])
+        smoothed, = tracker.smooth_update([angles])
+        assert smoothed.shape == (50,)
+        # smoothed trend should be monotone-ish increasing
+        assert smoothed[-1] > smoothed[10]
+        pred, = tracker.sample(1)
+        assert 0 <= pred[0] < 360
+
+
+class TestFlips:
+    def _mouse_keypoints(self, n, facing_east=True):
+        # nose/ears/neck at +x; hips/tailbase at -x (east-facing, angle 0)
+        base = np.array([[30, 0], [25, 5], [25, -5], [20, 0],
+                         [-10, 5], [-10, -5], [-20, 0], [-35, 0]], dtype=float)
+        if not facing_east:
+            base = base * np.array([-1, 1])
+        kpts = np.tile(base[None], (n, 1, 1)) + 50.0
+        scores = np.ones((n, 8, 1))
+        return np.concatenate([kpts, scores], axis=2)
+
+    def test_no_flip_when_aligned(self):
+        kpts = self._mouse_keypoints(5, facing_east=True)
+        centroids = np.full((5, 2), 50.0)
+        angles = np.zeros(5)
+        flips, conf = flips_from_keypoints(kpts, centroids, angles, length=80)
+        assert not flips.any()
+        assert (conf > 0.9).all()
+
+    def test_flip_when_reversed(self):
+        kpts = self._mouse_keypoints(5, facing_east=False)
+        centroids = np.full((5, 2), 50.0)
+        angles = np.zeros(5)
+        flips, conf = flips_from_keypoints(kpts, centroids, angles, length=80)
+        assert flips.all()
+
+    def test_alignment_scores(self):
+        kpts = self._mouse_keypoints(3, facing_east=True)[:, :7, :2]
+        scores = compute_keypoint_alignment_scores(kpts - 50.0)
+        assert (scores > 0.9).all()
+        scores_flipped = compute_keypoint_alignment_scores((kpts - 50.0) * np.array([-1, 1]))
+        assert (scores_flipped < 0.2).all()
+
+
+class TestRotatePoints:
+    def test_single_matches_batch(self, rng):
+        pts = rng.uniform(0, 100, (6, 3))
+        center = (40.0, 30.0)
+        out1 = rotate_points(pts.copy(), center, 35.0)
+        out2 = rotate_points_batch(pts[None].copy(), np.array([center]), 35.0)[0]
+        np.testing.assert_allclose(out1, out2, atol=1e-8)
+
+    def test_rotation_90(self):
+        pts = np.array([[1.0, 0.0]])
+        out = rotate_points(pts, (0, 0), 90.0)
+        # reference rotates by -angle internally: (1,0) -> (0,-1)
+        # (and squeezes single points to shape (2,), like the reference)
+        np.testing.assert_allclose(np.ravel(out), [0.0, -1.0], atol=1e-12)
+
+
+class TestScalars:
+    def test_shapes_and_basic_values(self, rng):
+        n, h, w = 10, 40, 50
+        frames = np.zeros((n, h, w), dtype='uint8')
+        frames[:, 10:20, 15:30] = 50  # a 10x15 block of height 50mm
+        track = {
+            'centroid': np.tile(np.array([[22.0, 15.0]]), (n, 1)),
+            'orientation': np.full(n, 45.0),
+            'axis_length': np.tile(np.array([[20.0, 8.0]]), (n, 1)),
+        }
+        scalars = compute_scalars(frames, track, min_height=10, max_height=100,
+                                  true_depth=673.1)
+        assert set(scalars.keys()) == {
+            'centroid_x_px', 'centroid_y_px', 'velocity_2d_px', 'velocity_3d_px',
+            'width_px', 'length_px', 'area_px', 'centroid_x_mm', 'centroid_y_mm',
+            'velocity_2d_mm', 'velocity_3d_mm', 'width_mm', 'length_mm', 'area_mm',
+            'height_ave_mm', 'angle', 'velocity_theta'}
+        np.testing.assert_allclose(scalars['area_px'], 150)
+        np.testing.assert_allclose(scalars['height_ave_mm'], 50.0)
+        np.testing.assert_allclose(scalars['width_px'], 8.0)
+        np.testing.assert_allclose(scalars['length_px'], 20.0)
+        np.testing.assert_allclose(scalars['angle'], np.deg2rad(45.0), rtol=1e-6)
+        np.testing.assert_allclose(scalars['velocity_2d_px'], 0.0, atol=1e-6)
+
+
+class TestKeypointsToDict:
+    def test_reference_and_rotated(self):
+        n = 4
+        kpts = np.zeros((n, 8, 3))
+        kpts[:, :, 0] = np.arange(8)[None] * 5 + 10  # x
+        kpts[:, :, 1] = 20.0
+        kpts[:, :, 2] = 0.9
+        frames = np.full((n, 64, 64), 42, dtype='uint8')
+        centers = np.full((n, 2), 30.0)
+        angles = np.zeros(n)
+        out = keypoints_to_dict(kpts, frames, centers, angles, true_depth=673.1)
+        assert out['reference/Nose_x_px'].shape == (n,)
+        np.testing.assert_allclose(out['reference/Nose_x_px'], 10.0)
+        np.testing.assert_allclose(out['reference/Nose_z_mm'], 42.0)
+        np.testing.assert_allclose(out['rotated/Nose_x_px'], -20.0)  # 10 - 30
+        np.testing.assert_allclose(out['reference/Nose_score'], 0.9)
+
+
+class TestInstancesToFeatures:
+    def _synthetic_chunk(self, n=12):
+        h, w = 96, 128
+        raw = np.zeros((n, h, w), dtype='uint8')
+        masks = np.zeros((n, h, w), dtype='uint8')
+        kpts = np.zeros((n, 8, 3))
+        import cv2
+        for i in range(n):
+            cx, cy = 50 + i, 40
+            cv2.ellipse(raw[i], (cx, cy), (22, 9), 0, 0, 360, 40, -1)
+            cv2.ellipse(masks[i], (cx, cy), (24, 11), 0, 0, 360, 1, -1)
+            base = np.array([[20, 0], [16, 4], [16, -4], [12, 0],
+                             [-8, 4], [-8, -4], [-14, 0], [-22, 0]], dtype=float)
+            kpts[i, :, 0] = base[:, 0] + cx
+            kpts[i, :, 1] = base[:, 1] + cy
+            kpts[i, :, 2] = 0.95
+        return raw, masks, kpts
+
+    def test_non_tracking_path(self):
+        raw, masks, kpts = self._synthetic_chunk()
+        out = instances_to_features(masks, kpts, np.ones(len(raw)), raw,
+                                    None, None, debug=False)
+        assert out['cleaned_frames'].shape == raw.shape
+        assert out['features']['centroid'].shape == (len(raw), 2)
+        cents = out['features']['centroid']
+        assert np.abs(cents[:, 1] - 40).max() < 3
+        # east-facing mouse: angle should be near 0 or 360
+        ang = out['features']['orientation'] % 360
+        assert ((ang < 30) | (ang > 330)).all()
+
+    def test_tracking_path(self):
+        raw, masks, kpts = self._synthetic_chunk()
+        point_tracker = KalmanTracker([KalmanTrackerPoint2D(order=3),
+                                       KalmanTrackerNPoints2D(8, order=3)])
+        angle_tracker = KalmanTracker([KalmanTrackerAngle(order=3, degrees=True)])
+        out = instances_to_features(masks, kpts, np.ones(len(raw)), raw,
+                                    point_tracker, angle_tracker, debug=False)
+        assert point_tracker.is_initialized and angle_tracker.is_initialized
+        assert out['features']['orientation'].shape == (len(raw),)
+        assert np.isfinite(out['features']['centroid']).all()
