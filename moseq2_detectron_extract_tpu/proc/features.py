@@ -201,7 +201,7 @@ def instances_to_features(masks: np.ndarray, keypoints: np.ndarray,
     with np.errstate(invalid='ignore'):
         lengths = np.max(features['axis_length'], axis=1)
         aspects = np.min(features['axis_length'], axis=1) / np.max(features['axis_length'], axis=1)
-    angles = np.asarray(clamp_angles_deg(-np.rad2deg(features['orientation'])))
+    angles = np.array(clamp_angles_deg(-np.rad2deg(features['orientation'])))
 
     debug_rows = []
     orig_angles = np.copy(angles) if debug else None
