@@ -1,0 +1,141 @@
+'''Typed model configuration (replaces Detectron2 CfgNode yaml).
+
+Hyperparameter parity with m2de/model/config.py:21-94 (base config) and
+:113-150 (dataset-derived fields). Serialized to/from yaml for run dirs.
+'''
+import dataclasses
+from typing import List, Optional, Tuple
+
+import yaml
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    '''Configuration for the TPU Mask+Keypoint R-CNN and its training.'''
+
+    # -- input ---------------------------------------------------------------
+    image_size: int = 256              # static square canvas (train crop 250 padded)
+    min_size_train: int = 240          # m2de/model/config.py:52
+    max_size_train: int = 250
+    min_size_test: int = 240
+    max_size_test: int = 250
+    pixel_mean: Tuple[float, ...] = (1.12, 1.12, 1.12)   # config.py:147
+    pixel_std: Tuple[float, ...] = (5.79, 5.79, 5.79)
+    input_format: str = 'RGB'
+
+    # -- backbone ------------------------------------------------------------
+    resnet_depth: int = 50
+    freeze_at: int = 0                 # config.py:81
+    backbone_norm: str = 'frozen_bn'
+    fpn_channels: int = 256
+    fpn_norm: str = 'gn'               # config.py:82
+    fpn_fuse_type: str = 'avg'         # config.py:83
+
+    # -- anchors / RPN -------------------------------------------------------
+    anchor_sizes: Tuple[Tuple[float, ...], ...] = ((32,), (64,), (128,), (256,), (512,))
+    anchor_aspect_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    rpn_pre_nms_topk_train: int = 2000   # per level (d2 default)
+    rpn_pre_nms_topk_test: int = 1000
+    rpn_post_nms_topk_train: int = 1500  # config.py:45
+    rpn_post_nms_topk_test: int = 1000
+    rpn_nms_thresh: float = 0.7
+    rpn_batch_size_per_image: int = 256
+    rpn_positive_fraction: float = 0.5
+    rpn_fg_iou_thresh: float = 0.7
+    rpn_bg_iou_thresh: float = 0.3
+    rpn_smooth_l1_beta: float = 0.0
+
+    # -- ROI heads -----------------------------------------------------------
+    num_classes: int = 1               # config.py:38
+    roi_batch_size_per_image: int = 256  # config.py:41
+    roi_positive_fraction: float = 0.5   # config.py:85
+    roi_fg_iou_thresh: float = 0.5
+    box_pooler_resolution: int = 7
+    box_fc_dim: int = 1024
+    box_smooth_l1_beta: float = 0.5    # config.py:43
+    box_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
+    rpn_box_reg_weights: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+
+    mask_on: bool = True               # config.py:35
+    mask_pooler_resolution: int = 14
+    mask_conv_dims: Tuple[int, ...] = (256, 256, 256, 256)
+    mask_resolution: int = 28
+
+    keypoint_on: bool = True           # config.py:32
+    num_keypoints: int = 8
+    keypoint_pooler_resolution: int = 7  # config.py:84
+    keypoint_conv_dims: Tuple[int, ...] = (512,) * 8
+    keypoint_heatmap_size: int = 28    # pooler 7 -> deconv 14 -> upsample 28
+    keypoint_loss_normalize_by_visible: bool = True
+
+    # -- test-time -----------------------------------------------------------
+    test_score_thresh: float = 0.5     # cli --instance-threshold default
+    test_nms_thresh: float = 0.5
+    test_detections_per_image: int = 4   # cli --allowed-detections default
+                                         # ((expected_instances+1)*2, cli.py:399)
+
+    # -- solver (m2de/model/config.py:60-68) ---------------------------------
+    ims_per_batch: int = 8
+    base_lr: float = 0.0025
+    max_iter: int = 100_000
+    lr_steps: Tuple[int, ...] = (70_000, 80_000, 90_000)
+    lr_gamma: float = 0.05
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    warmup_iters: int = 1000
+    warmup_factor: float = 1e-3
+    checkpoint_period: int = 5000      # config.py:62
+    eval_period: int = 1000            # config.py:76
+    amp_dtype: str = 'bfloat16'        # AMP enabled (config.py:68) -> bf16 on TPU
+
+    # -- dataset-derived (m2de/model/config.py:113-150) ----------------------
+    keypoint_names: Tuple[str, ...] = ('Nose', 'Left Ear', 'Right Ear', 'Neck',
+                                       'Left Hip', 'Right Hip', 'TailBase', 'TailTip')
+    oks_sigmas: Tuple[float, ...] = (0.026, 0.035, 0.035, 0.079,
+                                     0.107, 0.107, 0.089, 0.026)
+
+    # -- training-time shape budget ------------------------------------------
+    max_gt_instances: int = 8          # static GT padding per image
+
+    def to_yaml(self, path: str) -> None:
+        '''Persist to a yaml file.'''
+        with open(path, 'w', encoding='utf-8') as fh:
+            yaml.safe_dump(dataclasses.asdict(self), fh)
+
+    @classmethod
+    def from_yaml(cls, path: str) -> 'ModelConfig':
+        '''Load from a yaml file (unknown keys ignored for forward compat).'''
+        with open(path, 'r', encoding='utf-8') as fh:
+            raw = yaml.safe_load(fh) or {}
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {}
+        for k, v in raw.items():
+            if k in known:
+                if isinstance(v, list):
+                    v = tuple(tuple(e) if isinstance(e, list) else e for e in v)
+                kwargs[k] = v
+        return cls(**kwargs)
+
+    def replace(self, **kwargs) -> 'ModelConfig':
+        '''Functional field update.'''
+        return dataclasses.replace(self, **kwargs)
+
+
+def get_base_config() -> ModelConfig:
+    '''Base config with the reference's empirically-tuned values
+    (m2de/model/config.py:21-94).'''
+    return ModelConfig()
+
+
+def add_dataset_config(cfg: ModelConfig, num_keypoints: Optional[int] = None,
+                       pixel_mean: Optional[List[float]] = None,
+                       pixel_std: Optional[List[float]] = None) -> ModelConfig:
+    '''Apply dataset-derived fields (m2de/model/config.py:113-150).'''
+    updates = {}
+    if num_keypoints is not None:
+        updates['num_keypoints'] = num_keypoints
+    if pixel_mean is not None:
+        updates['pixel_mean'] = tuple(float(v) for v in pixel_mean)
+    if pixel_std is not None:
+        updates['pixel_std'] = tuple(float(v) for v in pixel_std)
+    return cfg.replace(**updates) if updates else cfg

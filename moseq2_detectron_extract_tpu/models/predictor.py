@@ -1,0 +1,113 @@
+'''Inference wrapper: preprocessing, jitted forward, detector postprocess.
+
+Parity target: m2de/model/predict.py (Predictor) + Detectron2's
+detector_postprocess. The entire step — uint8 depth frames in, full-resolution
+masks/keypoints out — is one jitted XLA program per (batch, frame-shape)
+bucket; resize/normalize/paste all happen on device.
+'''
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moseq2_detectron_extract_tpu.models.config import ModelConfig
+from moseq2_detectron_extract_tpu.models.rcnn import MaskKeypointRCNN
+
+
+def compute_test_scale(height: int, width: int, min_size: int, max_size: int) -> float:
+    '''ResizeShortestEdge scale: short edge -> min_size, capped by max_size.'''
+    scale = min_size / min(height, width)
+    if max(height, width) * scale > max_size:
+        scale = max_size / max(height, width)
+    return scale
+
+
+class Predictor:
+    '''Runs the Mask+Keypoint R-CNN on batches of depth frames.
+
+    Accepts (N, H, W) or (N, H, W, C) uint8 frames (grayscale is replicated
+    to 3 channels like m2de/model/predict.py:74-77). Returns numpy arrays:
+    masks (N, D, H, W) bool, keypoints (N, D, K, 3) in input-frame pixel
+    coords, scores (N, D), valid (N, D).
+    '''
+
+    def __init__(self, cfg: ModelConfig, params, batch_size: int = 10,
+                 score_threshold: Optional[float] = None):
+        self.cfg = cfg if score_threshold is None else \
+            cfg.replace(test_score_thresh=float(score_threshold))
+        self.model = MaskKeypointRCNN(self.cfg)
+        self.params = params
+        self.batch_size = int(batch_size)
+
+    @classmethod
+    def from_model_dir(cls, model_dir: str, checkpoint: str = 'last',
+                       batch_size: int = 10,
+                       score_threshold: Optional[float] = None) -> 'Predictor':
+        '''Load config + weights from a model directory.'''
+        from moseq2_detectron_extract_tpu.models.checkpoint import load_model_dir
+        cfg, params, _ = load_model_dir(model_dir, checkpoint)
+        return cls(cfg, params, batch_size=batch_size, score_threshold=score_threshold)
+
+    # ------------------------------------------------------------------ step
+    @functools.partial(jax.jit, static_argnames=('self', 'frame_shape'))
+    def _step(self, frames, frame_shape: Tuple[int, int]):
+        '''frames (B, H, W) uint8 -> detection dict at frame resolution.'''
+        cfg = self.cfg
+        h, w = frame_shape
+        canvas = cfg.image_size
+        scale = compute_test_scale(h, w, cfg.min_size_test, cfg.max_size_test)
+        new_h, new_w = int(h * scale + 0.5), int(w * scale + 0.5)
+        new_h, new_w = min(new_h, canvas), min(new_w, canvas)
+
+        x = frames.astype(jnp.float32)
+        x = jax.image.resize(x, (x.shape[0], new_h, new_w), method='bilinear')
+        x = jnp.pad(x, ((0, 0), (0, canvas - new_h), (0, canvas - new_w)))
+        x = jnp.repeat(x[..., None], 3, axis=-1)  # grayscale -> RGB replication
+        mean = jnp.asarray(cfg.pixel_mean, jnp.float32)
+        std = jnp.asarray(cfg.pixel_std, jnp.float32)
+        x = (x - mean) / std
+
+        b = x.shape[0]
+        image_sizes = jnp.tile(jnp.asarray([[new_h, new_w]], jnp.float32), (b, 1))
+        out = self.model.apply(self.params, x, image_sizes,
+                               method=MaskKeypointRCNN.inference)
+
+        # detector_postprocess: rescale to original frame resolution
+        inv = 1.0 / scale
+        boxes = out['boxes'] * inv
+        keypoints = out['keypoints'].at[..., :2].multiply(inv)
+
+        mask_canvas = out['masks'][:, :, :new_h, :new_w].astype(jnp.float32)
+        d = mask_canvas.shape[1]
+        masks = jax.image.resize(mask_canvas, (b, d, h, w), method='bilinear') > 0.5
+        masks = masks & out['valid'][:, :, None, None]
+
+        return {
+            'boxes': boxes, 'scores': out['scores'], 'classes': out['classes'],
+            'valid': out['valid'], 'masks': masks, 'keypoints': keypoints,
+            'mask_probs': out['mask_probs'],
+        }
+
+    # ------------------------------------------------------------------ call
+    def __call__(self, frames: np.ndarray) -> Dict[str, np.ndarray]:
+        '''Run inference over (N, H, W[, C]) frames in fixed-size batches.'''
+        frames = np.asarray(frames)
+        if frames.ndim == 4:  # take first channel of multi-channel input
+            frames = frames[..., 0]
+        n, h, w = frames.shape
+
+        outs = []
+        for start in range(0, n, self.batch_size):
+            batch = frames[start:start + self.batch_size]
+            pad = self.batch_size - batch.shape[0]
+            if pad:
+                batch = np.concatenate([batch, np.zeros((pad, h, w), batch.dtype)])
+            out = self._step(jnp.asarray(batch), (h, w))
+            out = {k: np.asarray(v) for k, v in out.items()}
+            if pad:
+                out = {k: v[:-pad] for k, v in out.items()}
+            outs.append(out)
+
+        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}

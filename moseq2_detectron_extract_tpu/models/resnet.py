@@ -1,0 +1,101 @@
+'''ResNet-50 backbone in flax.linen (NHWC, bf16-friendly).
+
+Replaces the Detectron2 ResNet selected by the reference's config
+(m2de/model/config.py:30, R50 with FrozenBN, FREEZE_AT=0). FrozenBN is an
+affine channel transform with stored statistics — here a ``FrozenBatchNorm``
+module whose variables live in a separate ``batch_stats``-like collection so
+the optimizer can exclude them.
+'''
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class FrozenBatchNorm(nn.Module):
+    '''BatchNorm with frozen statistics: y = (x - mean) / sqrt(var + eps) * w + b.
+
+    All four tensors are parameters initialized to identity; they train only
+    if the optimizer chooses to (the reference keeps them frozen).
+    '''
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones, (c,))
+        bias = self.param('bias', nn.initializers.zeros, (c,))
+        mean = self.param('mean', nn.initializers.zeros, (c,))
+        var = self.param('var', nn.initializers.ones, (c,))
+        inv = scale / jnp.sqrt(var + self.eps)
+        return x * inv + (bias - mean * inv)
+
+
+def _norm_layer(norm: str):
+    if norm == 'frozen_bn':
+        return FrozenBatchNorm()
+    if norm == 'gn':
+        return nn.GroupNorm(num_groups=32)
+    raise ValueError(f'unknown norm {norm}')
+
+
+class Bottleneck(nn.Module):
+    '''1x1 -> 3x3 -> 1x1 bottleneck block with projection shortcut on stride
+    or channel change.'''
+    out_channels: int
+    bottleneck_channels: int
+    stride: int = 1
+    norm: str = 'frozen_bn'
+
+    @nn.compact
+    def __call__(self, x):
+        shortcut = x
+        if x.shape[-1] != self.out_channels or self.stride != 1:
+            shortcut = nn.Conv(self.out_channels, (1, 1), strides=self.stride,
+                               use_bias=False, name='shortcut')(x)
+            shortcut = _norm_layer(self.norm)(shortcut)
+
+        y = nn.Conv(self.bottleneck_channels, (1, 1), strides=self.stride,
+                    use_bias=False, name='conv1')(x)
+        y = _norm_layer(self.norm)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.bottleneck_channels, (3, 3), padding=1,
+                    use_bias=False, name='conv2')(y)
+        y = _norm_layer(self.norm)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.out_channels, (1, 1), use_bias=False, name='conv3')(y)
+        y = _norm_layer(self.norm)(y)
+        return nn.relu(y + shortcut)
+
+
+class ResNet(nn.Module):
+    '''ResNet with C2..C5 feature outputs (strides 4, 8, 16, 32).'''
+    depth: int = 50
+    norm: str = 'frozen_bn'
+
+    @nn.compact
+    def __call__(self, x):
+        if self.depth == 50:
+            stage_blocks: Sequence[int] = (3, 4, 6, 3)
+        elif self.depth == 101:
+            stage_blocks = (3, 4, 23, 3)
+        else:
+            raise ValueError(f'unsupported resnet depth {self.depth}')
+
+        # stem: 7x7/2 + maxpool/2
+        y = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False, name='stem_conv')(x)
+        y = _norm_layer(self.norm)(y)
+        y = nn.relu(y)
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        outputs = {}
+        channels = (256, 512, 1024, 2048)
+        bottleneck = (64, 128, 256, 512)
+        for stage, (nblocks, out_c, mid_c) in enumerate(zip(stage_blocks, channels,
+                                                            bottleneck)):
+            stride = 1 if stage == 0 else 2
+            for block in range(nblocks):
+                y = Bottleneck(out_c, mid_c, stride=stride if block == 0 else 1,
+                               norm=self.norm, name=f'res{stage + 2}_{block}')(y)
+            outputs[f'res{stage + 2}'] = y
+        return outputs

@@ -238,17 +238,17 @@ class TestKeypointsToDict:
 
 class TestInstancesToFeatures:
     def _synthetic_chunk(self, n=12):
-        h, w = 96, 128
+        h, w = 128, 160
         raw = np.zeros((n, h, w), dtype='uint8')
         masks = np.zeros((n, h, w), dtype='uint8')
         kpts = np.zeros((n, 8, 3))
         import cv2
         for i in range(n):
-            cx, cy = 50 + i, 40
-            cv2.ellipse(raw[i], (cx, cy), (22, 9), 0, 0, 360, 40, -1)
-            cv2.ellipse(masks[i], (cx, cy), (24, 11), 0, 0, 360, 1, -1)
-            base = np.array([[20, 0], [16, 4], [16, -4], [12, 0],
-                             [-8, 4], [-8, -4], [-14, 0], [-22, 0]], dtype=float)
+            cx, cy = 60 + i, 55
+            cv2.ellipse(raw[i], (cx, cy), (34, 17), 0, 0, 360, 40, -1)
+            cv2.ellipse(masks[i], (cx, cy), (36, 19), 0, 0, 360, 1, -1)
+            base = np.array([[30, 0], [24, 7], [24, -7], [18, 0],
+                             [-12, 7], [-12, -7], [-20, 0], [-32, 0]], dtype=float)
             kpts[i, :, 0] = base[:, 0] + cx
             kpts[i, :, 1] = base[:, 1] + cy
             kpts[i, :, 2] = 0.95
@@ -261,7 +261,7 @@ class TestInstancesToFeatures:
         assert out['cleaned_frames'].shape == raw.shape
         assert out['features']['centroid'].shape == (len(raw), 2)
         cents = out['features']['centroid']
-        assert np.abs(cents[:, 1] - 40).max() < 3
+        assert np.abs(cents[:, 1] - 55).max() < 3
         # east-facing mouse: angle should be near 0 or 360
         ang = out['features']['orientation'] % 360
         assert ((ang < 30) | (ang > 330)).all()
