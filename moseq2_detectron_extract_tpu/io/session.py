@@ -164,8 +164,9 @@ class Session:
             bg_idxs = np.arange(0, self.nframes, 500)
             bg_frames = next(iter(self.index(bg_idxs, chunk_size=len(bg_idxs) + 1)))[1]
             bground_im = get_bground_im(bg_frames)
-            if use_cache and not use_plane_bground:
-                write_image(bg_filename, bground_im, scale=True)
+
+        if use_cache and not use_plane_bground and not os.path.exists(bg_filename):
+            write_image(bg_filename, np.asarray(bground_im), scale=True)
 
         roi_filename = os.path.join(cache_dir, f'roi_{bg_roi_index:02d}.tiff')
         if use_cache and os.path.exists(roi_filename):

@@ -41,27 +41,32 @@ def _plane_ransac_impl(depth_image, valid, key, iters, noise_tolerance, in_ratio
     idx = jax.random.choice(key, coords.shape[0], shape=(iters, 3), replace=True, p=probs)
     triples = coords[idx]  # (iters, 3, 3)
     planes = jax.vmap(_plane_from_3_points)(triples)  # (iters, 4)
+    bad = jnp.any(jnp.isnan(planes), axis=1)
+    safe_planes = jnp.where(bad[:, None], 0.0, planes)
 
-    def score(plane):
-        dist = jnp.abs(coords @ plane[:3] + plane[3])
-        dist = jnp.where(validf > 0, dist, 0.0)
-        ninliers = jnp.sum((dist < noise_tolerance) & (validf > 0))
-        mean_dist = jnp.sum(dist) / npoints
-        return ninliers.astype(jnp.float32), mean_dist
+    # score ALL candidates with one (P, 3) @ (3, iters) matmul (MXU-friendly)
+    dists_all = jnp.abs(coords @ safe_planes[:, :3].T + safe_planes[None, :, 3])
+    dists_all = dists_all * validf[:, None]
+    ninliers_all = jnp.sum((dists_all < noise_tolerance) & (validf[:, None] > 0),
+                           axis=0).astype(jnp.float32)
+    mean_dist_all = jnp.sum(dists_all, axis=0) / npoints
 
-    def step(carry, plane):
-        best_plane, best_num, best_dist = carry
-        bad = jnp.any(jnp.isnan(plane))
-        ninliers, mean_dist = score(jnp.where(bad, jnp.zeros_like(plane), plane))
-        accept = (~bad & ((ninliers / npoints) > in_ratio)
+    # sequential accept criterion over precomputed scalars (cheap scan)
+    def step(carry, cand):
+        best_idx, best_num, best_dist = carry
+        i, is_bad, ninliers, mean_dist = cand
+        accept = ((is_bad < 0.5) & ((ninliers / npoints) > in_ratio)
                   & (ninliers > best_num) & (mean_dist < best_dist))
-        best_plane = jnp.where(accept, plane, best_plane)
+        best_idx = jnp.where(accept, i, best_idx)
         best_num = jnp.where(accept, ninliers, best_num)
         best_dist = jnp.where(accept, mean_dist, best_dist)
-        return (best_plane, best_num, best_dist), None
+        return (best_idx, best_num, best_dist), None
 
-    init = (jnp.zeros((4,), jnp.float32), jnp.asarray(0.0), jnp.asarray(jnp.inf))
-    (best_plane, _, _), _ = jax.lax.scan(step, init, planes)
+    init = (jnp.asarray(0, jnp.int32), jnp.asarray(0.0), jnp.asarray(jnp.inf))
+    cands = (jnp.arange(iters, dtype=jnp.int32), bad.astype(jnp.float32),
+             ninliers_all, mean_dist_all)
+    (best_idx, _, _), _ = jax.lax.scan(step, init, cands)
+    best_plane = safe_planes[best_idx]
 
     dists = jnp.abs(coords @ best_plane[:3] + best_plane[3])
     return best_plane, dists

@@ -1,0 +1,344 @@
+'''Concrete pipeline steps: frame production, TPU inference, feature
+post-processing, result/preview writing.
+
+Parity targets: m2de/pipeline/produce_frames_step.py, inference_step.py,
+process_features_step.py, write_results_step.py, preview_video_writer_step.py.
+'''
+import logging
+import os
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from moseq2_detectron_extract_tpu.io.result import (create_extract_h5,
+                                                    write_extracted_chunk_to_h5)
+from moseq2_detectron_extract_tpu.io.session import Session, Stream
+from moseq2_detectron_extract_tpu.io.video import PreviewVideoWriter, apply_colormap_jet
+from moseq2_detectron_extract_tpu.ops.preprocess import prep_raw_frames, scale_raw_frames
+from moseq2_detectron_extract_tpu.ops.warp import crop_and_rotate_frames
+from moseq2_detectron_extract_tpu.pipeline.pipeline_step import PipelineStep
+from moseq2_detectron_extract_tpu.proc.features import instances_to_features
+from moseq2_detectron_extract_tpu.proc.keypoints import keypoints_to_dict
+from moseq2_detectron_extract_tpu.proc.kalman import (KalmanTracker, KalmanTrackerAngle,
+                                                      KalmanTrackerNPoints2D,
+                                                      KalmanTrackerPoint2D)
+from moseq2_detectron_extract_tpu.proc.scalars import compute_scalars
+from moseq2_detectron_extract_tpu.proc.tracker import CentroidTracker
+
+import h5py
+
+
+class ProduceFramesStep(PipelineStep):
+    '''Stream prepped depth frames from the session in chunks
+    (m2de/pipeline/produce_frames_step.py).'''
+
+    def __init__(self, session: Session, **kwargs):
+        super().__init__(**kwargs)
+        self.session = session
+
+    def initialize(self):
+        config = self.config
+        self.iterator = self.session.iterate(chunk_size=config['chunk_size'],
+                                             chunk_overlap=config['chunk_overlap'],
+                                             streams=(Stream.DEPTH,))
+        self.iterator.attach_filter(Stream.DEPTH, partial(
+            prep_raw_frames,
+            bground_im=self.session.bground_im,
+            roi=self.session.roi,
+            vmin=config['min_height'],
+            vmax=config['max_height'],
+            dtype=config['frame_dtype']))
+        self.reset_progress(self.session.nframes)
+
+    def generate(self):
+        chunk_size = self.config['chunk_size']
+        first = True
+        for frame_idxs, chunk in self.iterator:
+            offset = 0 if first else self.config['chunk_overlap']
+            first = False
+            chunk = np.asarray(chunk)
+            # pad tail chunks (repeat last frame) so every chunk shares one
+            # compiled shape; writers slice back to the true length
+            if chunk.shape[0] < chunk_size and self.config.get('pad_chunks', True):
+                pad = chunk_size - chunk.shape[0]
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
+            self.update_progress(len(frame_idxs))
+            yield {'frame_idxs': np.asarray(frame_idxs),
+                   'chunk': chunk,
+                   'offset': offset}
+
+
+class InferenceStep(PipelineStep):
+    '''Batched model inference on device (m2de/pipeline/inference_step.py).
+
+    The Predictor may be injected via config['predictor'] (tests) or loaded
+    from config['model'] (a model dir).
+    '''
+
+    def initialize(self):
+        predictor = self.config.get('predictor')
+        if predictor is None:
+            from moseq2_detectron_extract_tpu.models.predictor import Predictor
+            predictor = Predictor.from_model_dir(
+                self.config['model'],
+                checkpoint=self.config.get('checkpoint', 'last'),
+                batch_size=self.config.get('batch_size', 10),
+                score_threshold=self.config.get('instance_threshold', 0.5))
+        self.predictor = predictor
+
+    def process(self, data):
+        frames = np.asarray(scale_raw_frames(data['chunk'],
+                                             self.config['min_height'],
+                                             self.config['max_height']))
+        data['inference'] = self.predictor(frames)
+        self.update_progress(len(data['frame_idxs']))
+        return data
+
+
+def _pairwise_mask_iou(masks: np.ndarray) -> np.ndarray:
+    '''(N, D, H, W) bool -> (N, D, D) IoU via a device einsum.'''
+    m = jnp.asarray(masks).reshape(masks.shape[0], masks.shape[1], -1).astype(jnp.float32)
+    inter = jnp.einsum('ndp,nep->nde', m, m)
+    areas = jnp.sum(m, axis=2)
+    union = areas[:, :, None] + areas[:, None, :] - inter
+    return np.asarray(jnp.where(union > 0, inter / jnp.maximum(union, 1e-9), 0.0))
+
+
+def _greedy_mask_nms(iou: np.ndarray, scores: np.ndarray, valid: np.ndarray,
+                     threshold: float = 0.5) -> np.ndarray:
+    '''Tiny per-frame greedy NMS over <= D instances
+    (m2de/pipeline/process_features_step.py:63-113 mask-IoU NMS).'''
+    order = np.argsort(-scores)
+    keep = np.zeros_like(valid)
+    for i in order:
+        if not valid[i]:
+            continue
+        if any(keep[j] and iou[i, j] > threshold for j in range(len(scores))):
+            continue
+        keep[i] = True
+    return keep
+
+
+class ProcessFeaturesStep(PipelineStep):
+    '''Instance selection + feature extraction + crop/rotate
+    (m2de/pipeline/process_features_step.py).'''
+
+    def initialize(self):
+        config = self.config
+        self.crop = tuple(config['crop_size'])
+        true_depth = config['true_depth']
+        self.compute_keypoints = partial(keypoints_to_dict, true_depth=true_depth)
+        self.scalars_fn = partial(compute_scalars,
+                                  min_height=config['min_height'],
+                                  max_height=config['max_height'],
+                                  true_depth=true_depth)
+        self.instance_tracker = CentroidTracker(distance_threshold=50,
+                                                hit_counter_max=3)
+        if config.get('use_tracking', True):
+            self.point_tracker = KalmanTracker([
+                KalmanTrackerPoint2D(order=3, delta_t=1.0),
+                KalmanTrackerNPoints2D(config.get('num_keypoints', 8), order=3,
+                                       delta_t=1.0),
+            ])
+            self.angle_tracker = KalmanTracker([
+                KalmanTrackerAngle(order=3, delta_t=1.0, degrees=True),
+            ])
+        else:
+            self.point_tracker = None
+            self.angle_tracker = None
+        self.instance_log_path = os.path.join(config['output_dir'], 'instance_log.tsv')
+        with open(self.instance_log_path, 'w', encoding='utf-8') as fh:
+            fh.write('frame\tnum_instances\tscores\n')
+
+    def process(self, data):
+        data = self._select_instances(data)
+        data = self._compute_features(data)
+        data = self._crop_and_rotate(data)
+        self.update_progress(len(data['frame_idxs']))
+        return data
+
+    def _select_instances(self, data):
+        inference = data['inference']
+        masks = inference['masks']            # (N, D, H, W) bool
+        keypoints = inference['keypoints']    # (N, D, K, 3)
+        scores = inference['scores']          # (N, D)
+        valid = inference['valid']            # (N, D)
+        n, d = scores.shape
+        expected = self.config.get('expected_instances', 1)
+
+        # drop instances whose mask is empty (they break center-of-mass)
+        valid = valid & masks.any(axis=(2, 3))
+        iou = _pairwise_mask_iou(masks)
+
+        sel_mask = np.zeros(masks.shape[0:1] + masks.shape[2:], dtype='uint8')
+        sel_kpts = np.full((n, keypoints.shape[2], 3), np.nan)
+        num_instances = np.zeros(n, dtype=int)
+
+        with open(self.instance_log_path, 'a', encoding='utf-8') as log:
+            n_true = len(data['frame_idxs'])
+            for i in range(n):
+                keep = _greedy_mask_nms(iou[i], scores[i], valid[i])
+                keep_idx = np.flatnonzero(keep)
+                if i < n_true:  # skip tail-padding frames in the log
+                    log.write(f"{data['frame_idxs'][i]}\t{len(keep_idx)}\t"
+                              f"{','.join(f'{scores[i, j]:.3f}' for j in keep_idx)}\n")
+
+                # center-of-mass tracking across frames (SORT replacement)
+                centers = np.full((d, 2), np.nan)
+                for j in keep_idx:
+                    ys, xs = np.nonzero(masks[i, j])
+                    if len(ys):
+                        centers[j] = [ys.mean(), xs.mean()]
+                tracked = self.instance_tracker.update(centers, keep)
+
+                if len(tracked) > 1:
+                    # pick the longest-tracked live objects
+                    tracked.sort(key=lambda o: o.age, reverse=True)
+                    chosen = [o.last_detection_index for o in tracked[:expected]
+                              if o.last_detection_index is not None]
+                else:
+                    chosen = list(keep_idx[:expected])
+
+                num_instances[i] = len(chosen)
+                if chosen:
+                    j = chosen[0]
+                    sel_mask[i] = masks[i, j].astype('uint8')
+                    sel_kpts[i] = keypoints[i, j]
+
+        data['sel_masks'] = sel_mask
+        data['sel_keypoints'] = sel_kpts
+        data['num_instances'] = num_instances
+        return data
+
+    def _compute_features(self, data):
+        features = instances_to_features(
+            data['sel_masks'], data['sel_keypoints'], data['num_instances'],
+            data['chunk'], self.point_tracker, self.angle_tracker,
+            debug=self.config.get('debug_feature_processing', False),
+            debug_dir=self.config['output_dir'])
+        scalars = self.scalars_fn(data['chunk'] * features['masks'],
+                                  features['features'])
+        data['keypoints'] = self.compute_keypoints(
+            features['keypoints'], features['cleaned_frames'],
+            features['features']['centroid'], features['features']['orientation'])
+        data['features'] = features
+        data['scalars'] = scalars
+        return data
+
+    def _crop_and_rotate(self, data):
+        raw_frames = data['chunk']
+        centroids = data['features']['features']['centroid']
+        angles = data['features']['features']['orientation']
+        masks = data['features']['masks']
+        for i, count in enumerate(data['num_instances'][:len(data['frame_idxs'])]):
+            if count <= 0:
+                self.write_message(
+                    f"WARN: No instances found for frame {data['frame_idxs'][i]}",
+                    logging.WARNING)
+
+        cropped = crop_and_rotate_frames(jnp.asarray(raw_frames),
+                                         jnp.asarray(centroids),
+                                         jnp.asarray(angles), self.crop)
+        cropped_masks = crop_and_rotate_frames(jnp.asarray(masks.astype('uint8')),
+                                               jnp.asarray(centroids),
+                                               jnp.asarray(angles), self.crop)
+        data['depth_frames'] = np.asarray(jnp.clip(jnp.round(cropped), 0, 255)
+                                          ).astype(self.config['frame_dtype'])
+        data['mask_frames'] = np.asarray(cropped_masks > 0.5).astype('uint8')
+        return data
+
+
+class ResultWriterStep(PipelineStep):
+    '''Write chunk results to the h5 + cumulative keypoints TSV
+    (m2de/pipeline/write_results_step.py).'''
+
+    def initialize(self):
+        config = self.config
+        out_dir = config['output_dir']
+        self.h5_path = os.path.join(out_dir, f"results_{config['bg_roi_index']:02d}.h5")
+        self.tsv_path = os.path.join(out_dir, f"keypoints_{config['bg_roi_index']:02d}.tsv")
+        self.h5 = h5py.File(self.h5_path, 'w')
+        create_extract_h5(self.h5, config, config['status_dict'],
+                          param_annotations=config.get('param_annotations'))
+        self.keypoint_rows: List[dict] = []
+        self.reset_progress(config['nframes'])
+
+    def process(self, data):
+        offset = data['offset']
+        frame_idxs = np.asarray(data['frame_idxs']) - self.config.get('first_frame_idx', 0)
+        n_true = len(frame_idxs)  # padded tail chunks carry extra frames
+        results = {
+            'frame_idxs': frame_idxs[offset:],
+            'offset': offset,
+            'scalars': {k: v[:n_true] for k, v in data['scalars'].items()},
+            'depth_frames': data['depth_frames'][:n_true],
+            'mask_frames': data['mask_frames'][:n_true],
+            'features': {'flips': np.asarray(data['features']['flips'])[:n_true]},
+            'keypoints': {k: v[:n_true] for k, v in data['keypoints'].items()},
+        }
+        write_extracted_chunk_to_h5(self.h5, results)
+        self.h5.flush()
+
+        # cumulative keypoints tsv, rewritten each chunk like the reference
+        kp = data['keypoints']
+        keys = sorted(kp.keys())
+        for row_i, frame in enumerate(frame_idxs[offset:], start=offset):
+            self.keypoint_rows.append(
+                {'frame': int(frame), **{k: float(kp[k][row_i]) for k in keys}})
+        with open(self.tsv_path, 'w', encoding='utf-8') as fh:
+            if self.keypoint_rows:
+                cols = list(self.keypoint_rows[0].keys())
+                fh.write('\t'.join(cols) + '\n')
+                for row in self.keypoint_rows:
+                    fh.write('\t'.join(str(row[c]) for c in cols) + '\n')
+
+        self.update_progress(len(results['frame_idxs']))
+        return data['frame_idxs']
+
+    def finalize(self):
+        self.h5.close()
+
+
+class PreviewVideoWriterStep(PipelineStep):
+    '''Render the 3-panel preview video (arena / cropped frame / mask)
+    (m2de/pipeline/preview_video_writer_step.py).'''
+
+    def initialize(self):
+        config = self.config
+        out_path = os.path.join(config['output_dir'],
+                                f"results_{config['bg_roi_index']:02d}.mp4")
+        self.writer = PreviewVideoWriter(out_path, fps=config.get('fps', 30),
+                                         vmin=config['min_height'],
+                                         vmax=config['max_height'])
+
+    def process(self, data):
+        offset = data['offset']
+        n_true = len(data['frame_idxs'])
+        chunk = np.asarray(data['chunk'])[offset:n_true]
+        cropped = np.asarray(data['depth_frames'])[offset:n_true]
+        masks = np.asarray(data['mask_frames'])[offset:n_true]
+        frame_idxs = np.asarray(data['frame_idxs'])[offset:]
+
+        vmin = self.config['min_height']
+        vmax = self.config['max_height']
+        arena = apply_colormap_jet(chunk, vmin, vmax)
+        crop_rgb = apply_colormap_jet(cropped, vmin, vmax)
+        mask_rgb = np.repeat((masks * 255).astype('uint8')[..., None], 3, axis=-1)
+
+        # composite: arena left, cropped + mask stacked right
+        n, ah, aw = chunk.shape
+        ch, cw = cropped.shape[1:3]
+        right_h = ch * 2
+        height = max(ah, right_h)
+        width = aw + cw
+        canvas = np.zeros((n, height, width, 3), dtype='uint8')
+        canvas[:, :ah, :aw] = arena
+        canvas[:, :ch, aw:aw + cw] = crop_rgb
+        canvas[:, ch:ch * 2, aw:aw + cw] = mask_rgb
+        self.writer.write_frames(frame_idxs, canvas)
+        return None
+
+    def finalize(self):
+        self.writer.close()

@@ -1,0 +1,178 @@
+'''Visualization: fast cv2 drawing, raw-session previews, h5 result re-render.
+
+Parity target: m2de/viz.py (fast instance/keypoint drawing :132-294, raw
+preview :350-394, h5 result preview with reverse crop-rotate reconstruction
+:394-517, composited views :524-620). The reverse crop-rotate runs batched on
+device (ops/warp.py).
+'''
+import logging
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import h5py
+import numpy as np
+
+from moseq2_detectron_extract_tpu.io.session import Session, Stream
+from moseq2_detectron_extract_tpu.io.video import PreviewVideoWriter, apply_colormap_jet
+from moseq2_detectron_extract_tpu.ops.preprocess import prep_raw_frames
+from moseq2_detectron_extract_tpu.ops.warp import reverse_crop_and_rotate_frames
+from moseq2_detectron_extract_tpu.proc.keypoints import (default_keypoint_colors,
+                                                         default_keypoint_connection_rules,
+                                                         default_keypoint_names)
+
+try:
+    import cv2
+    HAS_CV2 = True
+except ImportError:  # pragma: no cover
+    HAS_CV2 = False
+
+
+# ---------------------------------------------------------------------------
+# fast drawing (m2de/viz.py:132-294)
+# ---------------------------------------------------------------------------
+
+def draw_keypoints(image: np.ndarray, keypoints: np.ndarray,
+                   names: Optional[Sequence[str]] = None,
+                   draw_skeleton: bool = True) -> np.ndarray:
+    '''Draw keypoint dots + skeleton onto an RGB uint8 image in place.'''
+    if not HAS_CV2:
+        return image
+    names = list(names or default_keypoint_names)
+    name_to_idx = {n: i for i, n in enumerate(names)}
+    for ki, (x, y, *rest) in enumerate(np.atleast_2d(keypoints)):
+        if not (np.isfinite(x) and np.isfinite(y)):
+            continue
+        color = default_keypoint_colors[ki % len(default_keypoint_colors)]
+        cv2.circle(image, (int(round(x)), int(round(y))), 2, color, -1, cv2.LINE_AA)
+    if draw_skeleton:
+        for a, b, color in default_keypoint_connection_rules:
+            if a not in name_to_idx or b not in name_to_idx:
+                continue
+            pa = keypoints[name_to_idx[a]]
+            pb = keypoints[name_to_idx[b]]
+            if np.isfinite(pa[:2]).all() and np.isfinite(pb[:2]).all():
+                cv2.line(image, (int(round(pa[0])), int(round(pa[1]))),
+                         (int(round(pb[0])), int(round(pb[1]))), color, 1, cv2.LINE_AA)
+    return image
+
+
+def draw_mask_contour(image: np.ndarray, mask: np.ndarray,
+                      color=(255, 255, 255)) -> np.ndarray:
+    '''Outline a boolean mask on an RGB image in place.'''
+    if not HAS_CV2:
+        return image
+    contours, _ = cv2.findContours(np.asarray(mask, np.uint8), cv2.RETR_EXTERNAL,
+                                   cv2.CHAIN_APPROX_SIMPLE)
+    cv2.drawContours(image, contours, -1, color, 1, cv2.LINE_AA)
+    return image
+
+
+def draw_instances(image: np.ndarray, masks: np.ndarray, keypoints: np.ndarray,
+                   scores: Optional[np.ndarray] = None) -> np.ndarray:
+    '''Fast multi-instance rendering (mask outlines + keypoints + scores).'''
+    for d in range(len(masks)):
+        draw_mask_contour(image, masks[d])
+        draw_keypoints(image, keypoints[d])
+        if scores is not None and HAS_CV2:
+            ys, xs = np.nonzero(masks[d])
+            if len(ys):
+                cv2.putText(image, f'{scores[d]:.2f}', (int(xs.min()), int(ys.min())),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.35, (255, 255, 255), 1)
+    return image
+
+
+# ---------------------------------------------------------------------------
+# raw session preview (m2de/viz.py:350-394, cli.py:220-276)
+# ---------------------------------------------------------------------------
+
+def generate_raw_preview(input_file: str, output_file: Optional[str] = None,
+                         min_height: float = 0, max_height: float = 100,
+                         chunk_size: int = 1000, fps: int = 30,
+                         bg_roi_depth_range: Tuple[float, float] = (650, 750)) -> str:
+    '''Render a background-subtracted preview movie of a raw session.'''
+    session = Session(input_file)
+    session.find_roi(bg_roi_depth_range=bg_roi_depth_range)
+    if output_file is None:
+        output_file = os.path.join(session.dirname, 'preview.mp4')
+
+    writer = PreviewVideoWriter(output_file, fps=fps, vmin=min_height,
+                                vmax=max_height)
+    iterator = session.iterate(chunk_size=chunk_size)
+    iterator.attach_filter(Stream.DEPTH, lambda f: np.asarray(prep_raw_frames(
+        f, bground_im=session.bground_im, roi=session.roi,
+        vmin=min_height, vmax=max_height, dtype='uint8')))
+    for frame_idxs, chunk in iterator:
+        writer.write_frames(np.asarray(frame_idxs), np.asarray(chunk))
+    writer.close()
+    return output_file
+
+
+# ---------------------------------------------------------------------------
+# result h5 preview (m2de/viz.py:394-620)
+# ---------------------------------------------------------------------------
+
+class H5ResultPreviewVideoGenerator:
+    '''Re-render the 3-panel preview from a results h5: reconstructed arena
+    view (reverse crop-rotate, on device), rotated-keypoints crop view, and
+    cleaned-frames view.'''
+
+    def __init__(self, result_file: str, output_file: Optional[str] = None,
+                 vmin: float = 0, vmax: float = 100, chunk_size: int = 1000,
+                 fps: int = 30):
+        self.result_file = result_file
+        self.output_file = output_file or os.path.splitext(result_file)[0] + '.preview.mp4'
+        self.vmin = vmin
+        self.vmax = vmax
+        self.chunk_size = chunk_size
+        self.fps = fps
+
+    def generate(self) -> str:
+        '''Render the preview video.'''
+        import jax.numpy as jnp
+
+        with h5py.File(self.result_file, 'r') as h5:
+            nframes = h5['frames'].shape[0]
+            roi = h5['metadata/extraction/roi'][()]
+            ys, xs = np.nonzero(roi > 0)
+            if len(ys):
+                dest_h = int(ys.max() - ys.min())
+                dest_w = int(xs.max() - xs.min())
+            else:
+                dest_h, dest_w = roi.shape
+
+            writer = PreviewVideoWriter(self.output_file, fps=self.fps,
+                                        vmin=self.vmin, vmax=self.vmax)
+            kp_names = default_keypoint_names
+            for start in range(0, nframes, self.chunk_size):
+                stop = min(start + self.chunk_size, nframes)
+                frames = h5['frames'][start:stop]
+                centroid = np.stack([h5['scalars/centroid_x_px'][start:stop],
+                                     h5['scalars/centroid_y_px'][start:stop]], axis=1)
+                angles = np.rad2deg(h5['scalars/angle'][start:stop])
+                rot_kpts = np.stack(
+                    [np.stack([h5[f'keypoints/rotated/{n}_x_px'][start:stop],
+                               h5[f'keypoints/rotated/{n}_y_px'][start:stop]], axis=1)
+                     for n in kp_names], axis=1)
+
+                arena = np.asarray(reverse_crop_and_rotate_frames(
+                    jnp.asarray(frames.astype('float32')), jnp.asarray(centroid),
+                    jnp.asarray(angles), (dest_w, dest_h)))
+
+                arena_rgb = apply_colormap_jet(arena, self.vmin, self.vmax)
+                crop_rgb = apply_colormap_jet(frames, self.vmin, self.vmax)
+
+                ch, cw = frames.shape[1:3]
+                composite = np.zeros((frames.shape[0], max(dest_h, ch * 2),
+                                      dest_w + cw, 3), dtype='uint8')
+                composite[:, :dest_h, :dest_w] = arena_rgb
+                for i in range(frames.shape[0]):
+                    panel = crop_rgb[i].copy()
+                    kpts = rot_kpts[i] + np.array([cw / 2, ch / 2])
+                    draw_keypoints(panel, np.concatenate(
+                        [kpts, np.ones((len(kpts), 1))], axis=1))
+                    composite[i, :ch, dest_w:dest_w + cw] = panel
+                    composite[i, ch:ch * 2, dest_w:dest_w + cw] = crop_rgb[i]
+                writer.write_frames(np.arange(start, stop), composite)
+            writer.close()
+        logging.info('Wrote %s', self.output_file)
+        return self.output_file
