@@ -1,0 +1,141 @@
+'''End-to-end extraction throughput benchmark (depth frames / sec / chip).
+
+Measures the BASELINE.md headline metric: full extract pipeline — raw .dat
+read, device preprocessing, Mask+Keypoint R-CNN inference, feature
+post-processing, crop/rotate, h5 + preview writing — on a synthetic
+512x424 Kinect-format session with the production model config.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is fps / 5000 (the driver-set north-star, BASELINE.json).
+'''
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+WIDTH, HEIGHT = 512, 424
+FLOOR_DEPTH = 700.0
+MOUSE_HEIGHT = 50.0
+BASELINE_FPS = 5000.0
+
+
+def make_background():
+    frame = np.zeros((HEIGHT, WIDTH), dtype='float64')
+    yy, xx = np.mgrid[0:HEIGHT, 0:WIDTH]
+    arena = (xx - WIDTH / 2) ** 2 + (yy - HEIGHT / 2) ** 2 < (HEIGHT / 2 - 10) ** 2
+    frame[arena] = FLOOR_DEPTH
+    frame[~arena] = 500.0
+    return frame
+
+
+def write_session(dirname, nframes, seed=0):
+    import cv2
+    os.makedirs(dirname, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    bg = make_background()
+    block = 200  # write in blocks to bound memory
+    path = os.path.join(dirname, 'depth.dat')
+    with open(path, 'wb') as fh:
+        for start in range(0, nframes, block):
+            n = min(block, nframes - start)
+            frames = np.repeat(bg[None], n, axis=0)
+            for i in range(n):
+                t = (start + i) / max(nframes - 1, 1)
+                cx = int(WIDTH / 2 + 100 * np.cos(2 * np.pi * t))
+                cy = int(HEIGHT / 2 + 80 * np.sin(2 * np.pi * t))
+                ang = 360.0 * t
+                mouse = np.zeros((HEIGHT, WIDTH), dtype='uint8')
+                cv2.ellipse(mouse, (cx, cy), (40, 18), ang, 0, 360, 1, -1)
+                frames[i][mouse > 0] = FLOOR_DEPTH - MOUSE_HEIGHT
+            frames = frames + rng.normal(0, 1.0, frames.shape)
+            fh.write(np.clip(frames, 0, 65535).astype('<u2').tobytes())
+    with open(os.path.join(dirname, 'metadata.json'), 'w') as fh:
+        json.dump({'DepthResolution': [WIDTH, HEIGHT]}, fh)
+    np.savetxt(os.path.join(dirname, 'depth_ts.txt'),
+               np.arange(nframes) * (1000.0 / 30.0), fmt='%.3f')
+    return path
+
+
+def build_config(output_dir, predictor, nframes):
+    return {
+        'model': None, 'checkpoint': 'last', 'batch_size': predictor.batch_size,
+        'instance_threshold': 0.0, 'expected_instances': 1,
+        'allowed_detections': 4,
+        'bg_roi_dilate': (10, 10), 'bg_roi_shape': 'ellipse', 'bg_roi_index': 0,
+        'bg_roi_weights': (1, .1, 1), 'bg_roi_depth_range': (650, 750),
+        'bg_roi_gradient_filter': False, 'bg_roi_gradient_threshold': 3000,
+        'bg_roi_gradient_kernel': 7, 'bg_roi_fill_holes': True,
+        'use_plane_bground': False, 'output_dir': output_dir,
+        'frame_dtype': 'uint8', 'min_height': 0, 'max_height': 100,
+        'crop_size': (80, 80), 'frame_trim': (0, 0), 'chunk_size': 1000,
+        'chunk_overlap': 0, 'fps': 30, 'use_tracking': True,
+        'debug_feature_processing': False, 'use_tracking_model': False,
+        'flip_classifier': 'bench-model', 'dataset_name': 'moseq',
+        'show_progress': False, 'predictor': predictor,
+    }
+
+
+def run_extract(session_path, predictor, output_dir, bground):
+    from moseq2_detectron_extract_tpu.extract import extract_session
+    from moseq2_detectron_extract_tpu.io.session import Session
+
+    session = Session(session_path)
+    session._bground_im = bground  # synthetic sessions are too short to
+    # self-estimate a background from every-500th frame
+    config = build_config(output_dir, predictor, session.nframes)
+    status = extract_session(session, config)
+    from moseq2_detectron_extract_tpu.io.util import read_yaml
+    if not read_yaml(status).get('complete', False):
+        raise RuntimeError('benchmark extraction did not complete')
+    return session.nframes
+
+
+def main():
+    import tempfile
+    import logging
+    logging.basicConfig(level=logging.WARNING)
+
+    import jax
+    from moseq2_detectron_extract_tpu.models.config import ModelConfig
+    from moseq2_detectron_extract_tpu.models.predictor import Predictor
+    from moseq2_detectron_extract_tpu.models.rcnn import MaskKeypointRCNN
+
+    nframes = int(os.environ.get('BENCH_FRAMES', 3000))
+    batch_size = int(os.environ.get('BENCH_BATCH', 32))
+
+    cfg = ModelConfig()
+    model = MaskKeypointRCNN(cfg)
+    import jax.numpy as jnp
+    images = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), images,
+                        method=MaskKeypointRCNN.inference)
+    predictor = Predictor(cfg, params, batch_size=batch_size,
+                          score_threshold=0.0)
+
+    work = tempfile.mkdtemp(prefix='bench_')
+    bground = make_background()
+
+    # warmup session: identical geometry -> identical compiled shapes
+    warm_path = write_session(os.path.join(work, 'warm'), max(batch_size * 4, 200))
+    run_extract(warm_path, predictor, os.path.join(work, 'warm_out'), bground)
+
+    main_path = write_session(os.path.join(work, 'main'), nframes)
+    t0 = time.time()
+    n = run_extract(main_path, predictor, os.path.join(work, 'main_out'), bground)
+    elapsed = time.time() - t0
+    fps = n / elapsed
+
+    print(json.dumps({
+        'metric': 'extract_throughput',
+        'value': round(fps, 2),
+        'unit': 'frames/sec/chip',
+        'vs_baseline': round(fps / BASELINE_FPS, 4),
+    }))
+
+
+if __name__ == '__main__':
+    main()

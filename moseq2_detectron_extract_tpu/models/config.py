@@ -25,6 +25,8 @@ class ModelConfig:
 
     # -- backbone ------------------------------------------------------------
     resnet_depth: int = 50
+    resnet_stage_blocks: Optional[Tuple[int, int, int, int]] = None  # None -> by depth
+    resnet_width: int = 64             # stem width; 64 = standard R50
     freeze_at: int = 0                 # config.py:81
     backbone_norm: str = 'frozen_bn'
     fpn_channels: int = 256

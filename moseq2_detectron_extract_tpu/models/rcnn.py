@@ -37,7 +37,10 @@ class MaskKeypointRCNN(nn.Module):
     cfg: ModelConfig
 
     def setup(self):
-        self.backbone = ResNet(depth=self.cfg.resnet_depth, norm=self.cfg.backbone_norm)
+        self.backbone = ResNet(depth=self.cfg.resnet_depth,
+                               norm=self.cfg.backbone_norm,
+                               stage_blocks=self.cfg.resnet_stage_blocks,
+                               width=self.cfg.resnet_width)
         self.fpn = FPN(out_channels=self.cfg.fpn_channels, norm=self.cfg.fpn_norm,
                        fuse_type=self.cfg.fpn_fuse_type)
         num_anchors = len(self.cfg.anchor_sizes[0]) * len(self.cfg.anchor_aspect_ratios)

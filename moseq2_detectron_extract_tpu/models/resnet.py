@@ -6,7 +6,7 @@ affine channel transform with stored statistics — here a ``FrozenBatchNorm``
 module whose variables live in a separate ``batch_stats``-like collection so
 the optimizer can exclude them.
 '''
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -69,28 +69,37 @@ class Bottleneck(nn.Module):
 
 
 class ResNet(nn.Module):
-    '''ResNet with C2..C5 feature outputs (strides 4, 8, 16, 32).'''
+    '''ResNet with C2..C5 feature outputs (strides 4, 8, 16, 32).
+
+    ``stage_blocks``/``width`` allow scaled-down variants for tests and
+    CPU dry runs; defaults give the standard R50/R101.
+    '''
     depth: int = 50
     norm: str = 'frozen_bn'
+    stage_blocks: Optional[Tuple[int, int, int, int]] = None
+    width: int = 64
 
     @nn.compact
     def __call__(self, x):
-        if self.depth == 50:
-            stage_blocks: Sequence[int] = (3, 4, 6, 3)
+        if self.stage_blocks is not None:
+            stage_blocks: Sequence[int] = self.stage_blocks
+        elif self.depth == 50:
+            stage_blocks = (3, 4, 6, 3)
         elif self.depth == 101:
             stage_blocks = (3, 4, 23, 3)
         else:
             raise ValueError(f'unsupported resnet depth {self.depth}')
 
         # stem: 7x7/2 + maxpool/2
-        y = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False, name='stem_conv')(x)
+        w = self.width
+        y = nn.Conv(w, (7, 7), strides=2, padding=3, use_bias=False, name='stem_conv')(x)
         y = _norm_layer(self.norm)(y)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         outputs = {}
-        channels = (256, 512, 1024, 2048)
-        bottleneck = (64, 128, 256, 512)
+        channels = (w * 4, w * 8, w * 16, w * 32)
+        bottleneck = (w, w * 2, w * 4, w * 8)
         for stage, (nblocks, out_c, mid_c) in enumerate(zip(stage_blocks, channels,
                                                             bottleneck)):
             stride = 1 if stage == 0 else 2
