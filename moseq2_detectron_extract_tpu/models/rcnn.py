@@ -26,8 +26,8 @@ from moseq2_detectron_extract_tpu.models.rpn import (RPNHead, rpn_losses,
                                                      select_proposals, _bce_with_logits,
                                                      _smooth_l1)
 from moseq2_detectron_extract_tpu.ops.nms import batched_nms_keep_mask
-from moseq2_detectron_extract_tpu.ops.roi_align import (multilevel_roi_align,
-                                                        roi_align_level)
+from moseq2_detectron_extract_tpu.ops.roi_align import (batched_multilevel_roi_align,
+                                                        crop_resize_mask)
 
 _FPN_STRIDES = (4, 8, 16, 32, 64)
 
@@ -79,8 +79,11 @@ class MaskKeypointRCNN(nn.Module):
                                     pre_k, post_k, self.cfg.rpn_nms_thresh,
                                     self.cfg.rpn_box_reg_weights)
 
-        boxes, scores, valid = jax.vmap(per_image)(
-            [l for l in logits], [d for d in deltas], image_sizes)
+        # lax.map (not vmap): the per-image NMS builds O(P^2) IoU matrices
+        # whose batched materialization would blow HBM at large batch sizes
+        boxes, scores, valid = jax.lax.map(
+            lambda args: per_image(args[0], args[1], args[2]),
+            ([l for l in logits], [d for d in deltas], image_sizes))
         return boxes, scores, valid, (logits, deltas, anchors)
 
     # -------------------------------------------------------------- inference
@@ -125,8 +128,9 @@ class MaskKeypointRCNN(nn.Module):
             det_boxes = jnp.where(det_valid[:, None], img_boxes[top_idx], 0.0)
             return det_boxes, jnp.where(det_valid, top_scores, 0.0), det_valid
 
-        det_boxes, det_scores, det_valid = jax.vmap(per_image_select)(
-            boxes, fg_scores, prop_valid, image_sizes)
+        det_boxes, det_scores, det_valid = jax.lax.map(
+            lambda args: per_image_select(*args),
+            (boxes, fg_scores, prop_valid, image_sizes))
 
         out = {
             'boxes': det_boxes, 'scores': det_scores,
@@ -159,13 +163,9 @@ class MaskKeypointRCNN(nn.Module):
         return out
 
     def _pool(self, fpn_feats, boxes, resolution: int):
-        '''vmapped multilevel ROIAlign: boxes (B, K, 4) -> (B, K, r, r, C).'''
+        '''Batched multilevel ROIAlign: boxes (B, K, 4) -> (B, K, r, r, C).'''
         p2_p5 = tuple(f.astype(jnp.float32) for f in fpn_feats[:4])
-
-        def per_image(img_boxes, *feats):
-            return multilevel_roi_align(feats, img_boxes, resolution)
-
-        return jax.vmap(per_image)(boxes, *p2_p5)
+        return batched_multilevel_roi_align(p2_p5, boxes, resolution)
 
     # --------------------------------------------------------------- training
     def losses(self, images, gt: Dict[str, jnp.ndarray], rng,
@@ -263,10 +263,9 @@ class MaskKeypointRCNN(nn.Module):
 
             # crop gt bitmasks to the sampled boxes at mask resolution
             def per_image_targets(img_masks, img_gt_idx, img_boxes):
-                sel = img_masks[img_gt_idx].astype(jnp.float32)[..., None]  # (R, S, S, 1)
-                def crop_one(m, bx):
-                    return roi_align_level(m, bx[None], cfg.mask_resolution, 1.0)[0, ..., 0]
-                return jax.vmap(crop_one)(sel, img_boxes)
+                sel = img_masks[img_gt_idx]  # (R, S, S)
+                return jax.vmap(lambda m, bx: crop_resize_mask(
+                    m, bx, cfg.mask_resolution))(sel, img_boxes)
 
             mask_targets = jax.vmap(per_image_targets)(
                 gt['masks'], s_gt_idx, s_boxes) >= 0.5
