@@ -91,23 +91,35 @@ class Predictor:
         }
 
     # ------------------------------------------------------------------ call
-    def __call__(self, frames: np.ndarray) -> Dict[str, np.ndarray]:
-        '''Run inference over (N, H, W[, C]) frames in fixed-size batches.'''
-        frames = np.asarray(frames)
+    def __call__(self, frames, return_device: bool = False) -> Dict[str, np.ndarray]:
+        '''Run inference over (N, H, W[, C]) frames in fixed-size batches.
+
+        ``frames`` may be a numpy array or an already-device-resident jax
+        array. With ``return_device=True`` the outputs stay on device (no
+        device->host transfer) — the extraction pipeline consumes them there.
+        '''
         if frames.ndim == 4:  # take first channel of multi-channel input
             frames = frames[..., 0]
         n, h, w = frames.shape
+        dev_frames = jnp.asarray(frames)
 
         outs = []
         for start in range(0, n, self.batch_size):
-            batch = frames[start:start + self.batch_size]
+            batch = jax.lax.dynamic_slice_in_dim(
+                dev_frames, min(start, max(n - self.batch_size, 0)),
+                min(self.batch_size, n), axis=0)
             pad = self.batch_size - batch.shape[0]
-            if pad:
-                batch = np.concatenate([batch, np.zeros((pad, h, w), batch.dtype)])
-            out = self._step(jnp.asarray(batch), (h, w))
-            out = {k: np.asarray(v) for k, v in out.items()}
-            if pad:
-                out = {k: v[:-pad] for k, v in out.items()}
+            if pad:  # only when n < batch_size
+                batch = jnp.concatenate(
+                    [batch, jnp.zeros((pad, h, w), batch.dtype)])
+            out = self._step(batch, (h, w))
+            if start + self.batch_size > n:
+                keep = n - start
+                skip = self.batch_size - keep
+                out = {k: v[skip:] if pad == 0 else v[:keep] for k, v in out.items()}
             outs.append(out)
 
-        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+        merged = {k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]}
+        if return_device:
+            return merged
+        return {k: np.asarray(v) for k, v in merged.items()}

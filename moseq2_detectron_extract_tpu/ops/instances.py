@@ -1,0 +1,68 @@
+'''Device-side per-frame instance selection: mask-IoU NMS + centers of mass.
+
+Replaces the per-frame host loop of
+m2de/pipeline/process_features_step.py:63-160 with one batched program. Only
+tiny tensors (keep flags, centers, scores) ever travel to the host, where the
+sequential SORT-style tracker picks instance indices; the selected masks are
+gathered on device.
+'''
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=('iou_threshold',))
+def nms_and_centers(masks, scores, valid, iou_threshold: float = 0.5):
+    '''masks (N, D, H, W) bool; scores/valid (N, D).
+
+    Returns (keep (N, D) bool after empty-mask filter + greedy mask-IoU NMS,
+    centers (N, D, 2 [row, col]) float with NaN for empty masks).
+    '''
+    n, d, h, w = masks.shape
+    m = masks.reshape(n, d, h * w).astype(jnp.float32)
+    area = jnp.sum(m, axis=2)                     # (N, D)
+    valid = valid & (area > 0)
+
+    inter = jnp.einsum('ndp,nep->nde', m, m)
+    union = area[:, :, None] + area[:, None, :] - inter
+    iou = jnp.where(union > 0, inter / jnp.maximum(union, 1e-9), 0.0)
+
+    # greedy NMS unrolled over the (small, static) D instances in score order
+    order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf), axis=1)  # (N, D)
+
+    def per_frame(frame_iou, frame_order, frame_valid):
+        keep = jnp.zeros((d,), bool)
+        for r in range(d):
+            i = frame_order[r]
+            suppressed = jnp.any(keep & (frame_iou[i] > iou_threshold))
+            keep = keep.at[i].set(frame_valid[i] & ~suppressed)
+        return keep
+
+    keep = jax.vmap(per_frame)(iou, order, valid)
+
+    ygrid = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(h * w)
+    xgrid = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(h * w)
+    safe_area = jnp.maximum(area, 1.0)
+    cy = jnp.einsum('ndp,p->nd', m, ygrid) / safe_area
+    cx = jnp.einsum('ndp,p->nd', m, xgrid) / safe_area
+    centers = jnp.stack([cy, cx], axis=-1)
+    centers = jnp.where((area > 0)[..., None], centers, jnp.nan)
+    return keep, centers
+
+
+@jax.jit
+def gather_selected(masks, keypoints, chosen_idx, has_instance):
+    '''Gather one instance per frame on device.
+
+    masks (N, D, H, W); keypoints (N, D, K, 3); chosen_idx (N,) int32;
+    has_instance (N,) bool. Returns (sel_masks (N, H, W) uint8,
+    sel_keypoints (N, K, 3) with NaN rows where no instance).
+    '''
+    n = masks.shape[0]
+    rows = jnp.arange(n)
+    sel_masks = masks[rows, chosen_idx].astype(jnp.uint8)
+    sel_masks = sel_masks * has_instance[:, None, None].astype(jnp.uint8)
+    sel_kpts = keypoints[rows, chosen_idx].astype(jnp.float32)
+    sel_kpts = jnp.where(has_instance[:, None, None], sel_kpts, jnp.nan)
+    return sel_masks, sel_kpts

@@ -137,6 +137,55 @@ def prep_raw_frames(frames, bground_im=None, roi=None, vmin=None, vmax=None,
         jnp.dtype(dtype).name, fix_invalid_pixels, fill_iterations)
 
 
+def prep_raw_frames_host(frames: np.ndarray, bground_im=None, roi=None,
+                         vmin=None, vmax=None, dtype='uint8') -> np.ndarray:
+    '''Host (numpy) variant of :func:`prep_raw_frames` that defers the
+    invalid-pixel fill to the device.
+
+    Kinect dropout pixels (raw == 0) are encoded as the dtype's max value
+    (a safe sentinel: valid values are clamped to ``vmax`` < max); the device
+    side decodes + fills them (:func:`decode_prepped_frames`). Used when host
+    -> device bandwidth is the bottleneck: uint8 output halves the transfer
+    volume vs uploading raw uint16.
+    '''
+    frames = np.asarray(frames)
+    invalid = frames == 0
+
+    x = frames.astype('float32')
+    if bground_im is not None:
+        bg = np.asarray(bground_im, dtype='float32')
+        x = bg[None] - x
+    if roi is not None:
+        roi_np = np.asarray(roi)
+        bbox = bbox_from_roi(roi_np)
+        if bbox is not None:
+            (y0, x0), (y1, x1) = bbox
+            x = x[:, y0:y1, x0:x1] * roi_np[y0:y1, x0:x1]
+            invalid = invalid[:, y0:y1, x0:x1]
+        else:
+            x = x * roi_np
+    if vmin is not None:
+        x[x < vmin] = 0
+    if vmax is not None:
+        np.minimum(x, vmax, out=x)
+
+    info = np.iinfo(np.dtype(dtype))
+    np.clip(x, info.min, info.max - 1, out=x)
+    out = x.astype(dtype)
+    out[invalid] = info.max  # sentinel for the device-side fill
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=('fill_iterations',))
+def decode_prepped_frames(frames: jnp.ndarray, fill_iterations: int = 16) -> jnp.ndarray:
+    '''Decode sentinel-encoded prepped frames on device: sentinel pixels are
+    treated as invalid and filled (inverse of :func:`prep_raw_frames_host`).'''
+    sentinel = jnp.iinfo(frames.dtype).max
+    invalid = frames == sentinel
+    cleared = jnp.where(invalid, 0, frames)
+    return fill_invalid_pixels(cleared, invalid, iterations=fill_iterations)
+
+
 def bbox_from_roi(roi: np.ndarray):
     '''Bounding box ((y0, x0), (y1, x1)) of positive mask pixels, end-exclusive.
 

@@ -16,7 +16,10 @@ from moseq2_detectron_extract_tpu.io.result import (create_extract_h5,
                                                     write_extracted_chunk_to_h5)
 from moseq2_detectron_extract_tpu.io.session import Session, Stream
 from moseq2_detectron_extract_tpu.io.video import PreviewVideoWriter, apply_colormap_jet
-from moseq2_detectron_extract_tpu.ops.preprocess import prep_raw_frames, scale_raw_frames
+from moseq2_detectron_extract_tpu.ops.instances import gather_selected, nms_and_centers
+from moseq2_detectron_extract_tpu.ops.preprocess import (decode_prepped_frames,
+                                                         prep_raw_frames_host,
+                                                         scale_raw_frames)
 from moseq2_detectron_extract_tpu.ops.warp import crop_and_rotate_frames
 from moseq2_detectron_extract_tpu.pipeline.pipeline_step import PipelineStep
 from moseq2_detectron_extract_tpu.proc.features import instances_to_features
@@ -43,8 +46,11 @@ class ProduceFramesStep(PipelineStep):
         self.iterator = self.session.iterate(chunk_size=config['chunk_size'],
                                              chunk_overlap=config['chunk_overlap'],
                                              streams=(Stream.DEPTH,))
+        # host prep (numpy): bg-subtract/ROI/clamp/cast with dropout pixels
+        # sentinel-encoded; the device decodes + fills them. Halves the
+        # host->device volume vs uploading raw uint16.
         self.iterator.attach_filter(Stream.DEPTH, partial(
-            prep_raw_frames,
+            prep_raw_frames_host,
             bground_im=self.session.bground_im,
             roi=self.session.roi,
             vmin=config['min_height'],
@@ -89,36 +95,17 @@ class InferenceStep(PipelineStep):
         self.predictor = predictor
 
     def process(self, data):
-        frames = np.asarray(scale_raw_frames(data['chunk'],
-                                             self.config['min_height'],
-                                             self.config['max_height']))
-        data['inference'] = self.predictor(frames)
+        # single H2D upload of the sentinel-encoded uint8 chunk; everything
+        # after this stays device-resident until compact results come back
+        chunk_dev = decode_prepped_frames(jnp.asarray(data['chunk']))
+        frames = scale_raw_frames(chunk_dev, self.config['min_height'],
+                                  self.config['max_height'])
+        data['chunk_dev'] = chunk_dev
+        sentinel = np.iinfo(data['chunk'].dtype).max
+        data['chunk'] = np.where(data['chunk'] == sentinel, 0, data['chunk'])
+        data['inference'] = self.predictor(frames, return_device=True)
         self.update_progress(len(data['frame_idxs']))
         return data
-
-
-def _pairwise_mask_iou(masks: np.ndarray) -> np.ndarray:
-    '''(N, D, H, W) bool -> (N, D, D) IoU via a device einsum.'''
-    m = jnp.asarray(masks).reshape(masks.shape[0], masks.shape[1], -1).astype(jnp.float32)
-    inter = jnp.einsum('ndp,nep->nde', m, m)
-    areas = jnp.sum(m, axis=2)
-    union = areas[:, :, None] + areas[:, None, :] - inter
-    return np.asarray(jnp.where(union > 0, inter / jnp.maximum(union, 1e-9), 0.0))
-
-
-def _greedy_mask_nms(iou: np.ndarray, scores: np.ndarray, valid: np.ndarray,
-                     threshold: float = 0.5) -> np.ndarray:
-    '''Tiny per-frame greedy NMS over <= D instances
-    (m2de/pipeline/process_features_step.py:63-113 mask-IoU NMS).'''
-    order = np.argsort(-scores)
-    keep = np.zeros_like(valid)
-    for i in order:
-        if not valid[i]:
-            continue
-        if any(keep[j] and iou[i, j] > threshold for j in range(len(scores))):
-            continue
-        keep[i] = True
-    return keep
 
 
 class ProcessFeaturesStep(PipelineStep):
@@ -160,41 +147,34 @@ class ProcessFeaturesStep(PipelineStep):
         return data
 
     def _select_instances(self, data):
+        '''Device NMS + centers; the sequential SORT-style tracker runs on host
+        over tiny (N, D) arrays, then the chosen instances gather on device.'''
         inference = data['inference']
-        masks = inference['masks']            # (N, D, H, W) bool
-        keypoints = inference['keypoints']    # (N, D, K, 3)
-        scores = inference['scores']          # (N, D)
-        valid = inference['valid']            # (N, D)
-        n, d = scores.shape
+        masks_dev = jnp.asarray(inference['masks'])        # (N, D, H, W)
+        keypoints_dev = jnp.asarray(inference['keypoints'])  # (N, D, K, 3)
         expected = self.config.get('expected_instances', 1)
 
-        # drop instances whose mask is empty (they break center-of-mass)
-        valid = valid & masks.any(axis=(2, 3))
-        iou = _pairwise_mask_iou(masks)
+        keep_dev, centers_dev = nms_and_centers(
+            masks_dev, jnp.asarray(inference['scores']),
+            jnp.asarray(inference['valid']))
+        keep = np.asarray(keep_dev)            # (N, D) - tiny transfers
+        centers = np.asarray(centers_dev)      # (N, D, 2)
+        scores = np.asarray(inference['scores'])
+        n, d = keep.shape
 
-        sel_mask = np.zeros(masks.shape[0:1] + masks.shape[2:], dtype='uint8')
-        sel_kpts = np.full((n, keypoints.shape[2], 3), np.nan)
+        chosen_idx = np.zeros(n, dtype='int32')
         num_instances = np.zeros(n, dtype=int)
-
         with open(self.instance_log_path, 'a', encoding='utf-8') as log:
             n_true = len(data['frame_idxs'])
             for i in range(n):
-                keep = _greedy_mask_nms(iou[i], scores[i], valid[i])
-                keep_idx = np.flatnonzero(keep)
-                if i < n_true:  # skip tail-padding frames in the log
+                keep_idx = np.flatnonzero(keep[i])  # in score order by construction
+                keep_idx = keep_idx[np.argsort(-scores[i][keep_idx])]
+                if i < n_true:
                     log.write(f"{data['frame_idxs'][i]}\t{len(keep_idx)}\t"
                               f"{','.join(f'{scores[i, j]:.3f}' for j in keep_idx)}\n")
 
-                # center-of-mass tracking across frames (SORT replacement)
-                centers = np.full((d, 2), np.nan)
-                for j in keep_idx:
-                    ys, xs = np.nonzero(masks[i, j])
-                    if len(ys):
-                        centers[j] = [ys.mean(), xs.mean()]
-                tracked = self.instance_tracker.update(centers, keep)
-
+                tracked = self.instance_tracker.update(centers[i], keep[i])
                 if len(tracked) > 1:
-                    # pick the longest-tracked live objects
                     tracked.sort(key=lambda o: o.age, reverse=True)
                     chosen = [o.last_detection_index for o in tracked[:expected]
                               if o.last_detection_index is not None]
@@ -203,23 +183,28 @@ class ProcessFeaturesStep(PipelineStep):
 
                 num_instances[i] = len(chosen)
                 if chosen:
-                    j = chosen[0]
-                    sel_mask[i] = masks[i, j].astype('uint8')
-                    sel_kpts[i] = keypoints[i, j]
+                    chosen_idx[i] = chosen[0]
 
-        data['sel_masks'] = sel_mask
-        data['sel_keypoints'] = sel_kpts
+        sel_masks, sel_kpts = gather_selected(
+            masks_dev, keypoints_dev, jnp.asarray(chosen_idx),
+            jnp.asarray(num_instances > 0))
+        data['sel_masks'] = sel_masks          # device (N, H, W) uint8
+        data['sel_keypoints'] = sel_kpts       # device (N, K, 3)
         data['num_instances'] = num_instances
         return data
 
     def _compute_features(self, data):
+        chunk_dev = data.get('chunk_dev')
+        if chunk_dev is None:
+            chunk_dev = jnp.asarray(data['chunk'])
         features = instances_to_features(
             data['sel_masks'], data['sel_keypoints'], data['num_instances'],
-            data['chunk'], self.point_tracker, self.angle_tracker,
+            chunk_dev, self.point_tracker, self.angle_tracker,
             debug=self.config.get('debug_feature_processing', False),
             debug_dir=self.config['output_dir'])
-        scalars = self.scalars_fn(data['chunk'] * features['masks'],
-                                  features['features'])
+        # masked depth for the scalar reductions, computed on device
+        masked_frames = chunk_dev * jnp.asarray(features['masks'])
+        scalars = self.scalars_fn(masked_frames, features['features'])
         data['keypoints'] = self.compute_keypoints(
             features['keypoints'], features['cleaned_frames'],
             features['features']['centroid'], features['features']['orientation'])
@@ -228,25 +213,27 @@ class ProcessFeaturesStep(PipelineStep):
         return data
 
     def _crop_and_rotate(self, data):
-        raw_frames = data['chunk']
+        raw_frames = data.get('chunk_dev')
+        if raw_frames is None:
+            raw_frames = jnp.asarray(data['chunk'])
         centroids = data['features']['features']['centroid']
         angles = data['features']['features']['orientation']
-        masks = data['features']['masks']
+        masks = jnp.asarray(data['features']['masks']).astype(jnp.uint8)
         for i, count in enumerate(data['num_instances'][:len(data['frame_idxs'])]):
             if count <= 0:
                 self.write_message(
                     f"WARN: No instances found for frame {data['frame_idxs'][i]}",
                     logging.WARNING)
 
-        cropped = crop_and_rotate_frames(jnp.asarray(raw_frames),
-                                         jnp.asarray(centroids),
+        cropped = crop_and_rotate_frames(raw_frames, jnp.asarray(centroids),
                                          jnp.asarray(angles), self.crop)
-        cropped_masks = crop_and_rotate_frames(jnp.asarray(masks.astype('uint8')),
-                                               jnp.asarray(centroids),
+        cropped_masks = crop_and_rotate_frames(masks, jnp.asarray(centroids),
                                                jnp.asarray(angles), self.crop)
-        data['depth_frames'] = np.asarray(jnp.clip(jnp.round(cropped), 0, 255)
-                                          ).astype(self.config['frame_dtype'])
-        data['mask_frames'] = np.asarray(cropped_masks > 0.5).astype('uint8')
+        # the 80x80 crops are the only large device->host transfer per chunk
+        data['depth_frames'] = np.asarray(
+            jnp.clip(jnp.round(cropped), 0, 255).astype(
+                jnp.dtype(self.config['frame_dtype'])))
+        data['mask_frames'] = np.asarray((cropped_masks > 0.5).astype(jnp.uint8))
         return data
 
 

@@ -36,7 +36,7 @@ def clean_frames(frames, prefilter_space=(3,), prefilter_time=None,
                  frame_dtype='uint8', strel_min=None, iters_min: Optional[int] = None):
     '''Median filter + morphological opening, batched on device
     (m2de/proc/proc.py:480-515).'''
-    x = jnp.asarray(np.asarray(frames).astype(frame_dtype))
+    x = jnp.asarray(frames).astype(frame_dtype)  # stays on device if already there
     if strel_tail is None:
         strel_tail = _STREL_TAIL
     if strel_min is None:
@@ -95,7 +95,9 @@ def get_frame_features(frames, frame_threshold: float = 10, mask=None,
         'orientation': np.asarray(feats['orientation'], dtype=float),
         'axis_length': np.asarray(feats['axis_length'], dtype=float),
     }
-    return features, np.asarray(frame_mask)
+    # frame_mask stays a device array: callers crop/reduce it on device and
+    # only compact data ever crosses to the host
+    return features, frame_mask
 
 
 def flips_from_keypoints(keypoints: np.ndarray, centroids: np.ndarray,
@@ -192,9 +194,9 @@ def instances_to_features(masks: np.ndarray, keypoints: np.ndarray,
     With trackers: Kalman smoothing + keypoint flip votes + per-frame angle
     heuristic. Without: flip votes + iterative 180-degree angle filtering.
     '''
-    keypoints = np.array(keypoints, dtype=float)
+    keypoints = np.array(np.asarray(keypoints), dtype=float)
 
-    cleaned_frames = np.asarray(clean_frames(raw_frames, iters_tail=3))
+    cleaned_frames = clean_frames(raw_frames, iters_tail=3)  # device array
     features, feat_masks = get_frame_features(cleaned_frames, mask=masks, use_cc=True,
                                               frame_threshold=3)
 

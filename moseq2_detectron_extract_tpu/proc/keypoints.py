@@ -112,7 +112,6 @@ def keypoints_to_dict(keypoints: np.ndarray, frames: np.ndarray, centers: np.nda
         keypoint_names = default_keypoint_names
 
     keypoints = np.asarray(keypoints, dtype=float)
-    frames = np.asarray(frames)
     nframes, nkp = keypoints.shape[0], keypoints.shape[1]
 
     with np.errstate(invalid='ignore'):
@@ -120,7 +119,10 @@ def keypoints_to_dict(keypoints: np.ndarray, frames: np.ndarray, centers: np.nda
                         0, frames.shape[2] - 1)
         y_idx = np.clip(np.floor(np.nan_to_num(keypoints[:, :, 1])).astype(int),
                         0, frames.shape[1] - 1)
-        z_data = frames[np.arange(nframes)[:, None], y_idx, x_idx].astype(float)
+        # one fancy-index gather: runs on device when frames live there, and
+        # only the (N, K) z values cross to the host
+        z_data = np.asarray(frames[np.arange(nframes)[:, None], y_idx, x_idx],
+                            dtype=float)
 
         ref_kpts_px = keypoints.copy()
         ref_kpts_mm = np.zeros_like(keypoints)

@@ -51,8 +51,7 @@ def compute_scalars(frames: np.ndarray, track_features: dict, min_height: float 
     frames: (N, H, W) uncropped (ROI-frame) depth in mm; track_features must
     hold 'centroid' (N, 2), 'orientation' (N,), 'axis_length' (N, 2).
     '''
-    frames = np.asarray(frames)
-    nframes = frames.shape[0]
+    nframes = frames.shape[0]  # frames may be a device array; only reduced on device
     centroid = np.asarray(track_features['centroid'], dtype=float)
     axis_length = np.asarray(track_features['axis_length'], dtype=float)
     orientation = np.asarray(track_features['orientation'], dtype=float)

@@ -95,7 +95,7 @@ class FakePredictor:
         self.max_det = max_det
         self.counter = frame_offset
 
-    def __call__(self, frames):
+    def __call__(self, frames, return_device=False):
         frames = np.asarray(frames)
         n, h, w = frames.shape[:3] if frames.ndim == 3 else frames.shape[:3]
         d, k = self.max_det, 8
