@@ -1,0 +1,233 @@
+'''Unit tests of model building blocks vs numpy oracles.'''
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from moseq2_detectron_extract_tpu.models.anchors import generate_anchors
+from moseq2_detectron_extract_tpu.models.boxes import (clip_boxes, decode_boxes,
+                                                       encode_boxes, pairwise_iou)
+from moseq2_detectron_extract_tpu.models.heads import (heatmaps_to_keypoints,
+                                                       keypoint_targets, paste_masks)
+from moseq2_detectron_extract_tpu.models.matcher import (match_anchors_to_gt,
+                                                         subsample_labels)
+from moseq2_detectron_extract_tpu.ops.instances import gather_selected, nms_and_centers
+from moseq2_detectron_extract_tpu.ops.nms import nms_keep_mask
+from moseq2_detectron_extract_tpu.ops.roi_align import (batched_multilevel_roi_align,
+                                                        crop_resize_mask,
+                                                        multilevel_roi_align)
+
+
+def greedy_nms_oracle(boxes, scores, thresh):
+    '''Classic greedy NMS in numpy (torchvision semantics).'''
+    order = np.argsort(-scores, kind='stable')
+    keep = np.zeros(len(boxes), bool)
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep[i] = True
+        for j in order:
+            if j == i or suppressed[j] or keep[j]:
+                continue
+            xx1 = max(boxes[i, 0], boxes[j, 0])
+            yy1 = max(boxes[i, 1], boxes[j, 1])
+            xx2 = min(boxes[i, 2], boxes[j, 2])
+            yy2 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(xx2 - xx1, 0) * max(yy2 - yy1, 0)
+            a1 = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            a2 = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            if inter / max(a1 + a2 - inter, 1e-9) > thresh:
+                suppressed[j] = True
+    return keep
+
+
+class TestNMS:
+    @pytest.mark.parametrize('seed', [0, 1, 2])
+    def test_matches_greedy_oracle(self, seed):
+        rng = np.random.default_rng(seed)
+        n = 60
+        centers = rng.uniform(20, 100, (n, 2))
+        sizes = rng.uniform(5, 40, (n, 2))
+        boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2],
+                               axis=1).astype('float32')
+        scores = rng.uniform(0, 1, n).astype('float32')
+        keep = np.asarray(nms_keep_mask(jnp.asarray(boxes), jnp.asarray(scores), 0.5))
+        oracle = greedy_nms_oracle(boxes, scores, 0.5)
+        np.testing.assert_array_equal(keep, oracle)
+
+    def test_valid_mask_respected(self):
+        boxes = jnp.asarray([[0, 0, 10, 10], [0, 0, 10, 10]], jnp.float32)
+        scores = jnp.asarray([0.5, 0.9])
+        valid = jnp.asarray([True, False])
+        keep = np.asarray(nms_keep_mask(boxes, scores, 0.5, valid=valid))
+        np.testing.assert_array_equal(keep, [True, False])
+
+
+class TestBoxes:
+    def test_encode_decode_round_trip(self, rng):
+        src = rng.uniform(0, 100, (20, 2))
+        src = np.concatenate([src, src + rng.uniform(5, 50, (20, 2))], axis=1)
+        tgt = rng.uniform(0, 100, (20, 2))
+        tgt = np.concatenate([tgt, tgt + rng.uniform(5, 50, (20, 2))], axis=1)
+        weights = (10.0, 10.0, 5.0, 5.0)
+        deltas = encode_boxes(jnp.asarray(src), jnp.asarray(tgt), weights)
+        restored = decode_boxes(deltas, jnp.asarray(src), weights)
+        np.testing.assert_allclose(np.asarray(restored), tgt, atol=1e-2)
+
+    def test_pairwise_iou(self):
+        a = jnp.asarray([[0, 0, 10, 10]], jnp.float32)
+        b = jnp.asarray([[0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]], jnp.float32)
+        iou = np.asarray(pairwise_iou(a, b))[0]
+        np.testing.assert_allclose(iou, [1.0, 25 / 175, 0.0], atol=1e-6)
+
+    def test_clip(self):
+        boxes = jnp.asarray([[-5, -5, 300, 60]], jnp.float32)
+        out = np.asarray(clip_boxes(boxes, (100, 200)))
+        np.testing.assert_allclose(out, [[0, 0, 200, 60]])
+
+
+class TestAnchors:
+    def test_shapes_and_centers(self):
+        anchors = generate_anchors(((4, 4),), (16,), ((32,),), (1.0,))
+        a = anchors[0]
+        assert a.shape == (16, 1 * 4)[0:1] + (4,)
+        # first anchor centered at (0, 0) with size 32
+        np.testing.assert_allclose(a[0], [-16, -16, 16, 16])
+        # second anchor shifted one stride in x
+        np.testing.assert_allclose(a[1], [0, -16, 32, 16])
+
+    def test_aspect_ratios(self):
+        anchors = generate_anchors(((1, 1),), (16,), ((32,),), (0.5, 1.0, 2.0))[0]
+        widths = anchors[:, 2] - anchors[:, 0]
+        heights = anchors[:, 3] - anchors[:, 1]
+        np.testing.assert_allclose(heights / widths, [0.5, 1.0, 2.0], rtol=1e-6)
+        np.testing.assert_allclose(widths * heights, 32 * 32, rtol=1e-6)
+
+
+class TestMatcher:
+    def test_match_labels(self):
+        anchors = jnp.asarray([[0, 0, 10, 10], [100, 100, 110, 110],
+                               [0, 0, 9, 10], [50, 50, 52, 52]], jnp.float32)
+        gt = jnp.asarray([[0, 0, 10, 10], [0, 0, 0, 0]], jnp.float32)
+        gt_valid = jnp.asarray([True, False])
+        idx, labels = match_anchors_to_gt(anchors, gt, gt_valid, 0.7, 0.3, True)
+        labels = np.asarray(labels)
+        assert labels[0] == 1      # perfect match
+        assert labels[1] == 0      # no overlap -> bg
+        assert labels[2] == 1      # iou 0.9 -> fg
+        assert labels[3] == 0
+
+    def test_low_quality_forced_positive(self):
+        anchors = jnp.asarray([[0, 0, 10, 10]], jnp.float32)
+        gt = jnp.asarray([[0, 0, 30, 30]], jnp.float32)
+        gt_valid = jnp.asarray([True])
+        _, labels = match_anchors_to_gt(anchors, gt, gt_valid, 0.7, 0.3, True)
+        assert np.asarray(labels)[0] == 1  # best anchor for the gt is forced fg
+
+    def test_subsample_balance(self):
+        labels = jnp.asarray([1] * 10 + [0] * 100 + [-1] * 20)
+        idx, valid, is_pos = subsample_labels(labels, 32, 0.5, jax.random.PRNGKey(0))
+        idx, valid, is_pos = map(np.asarray, (idx, valid, is_pos))
+        assert valid.sum() == 32
+        assert is_pos.sum() == 10          # all positives (< cap of 16)
+        assert (valid & ~is_pos).sum() == 22
+
+    def test_subsample_caps_positives(self):
+        labels = jnp.asarray([1] * 100 + [0] * 100)
+        idx, valid, is_pos = subsample_labels(labels, 32, 0.5, jax.random.PRNGKey(0))
+        assert np.asarray(is_pos).sum() == 16
+
+
+class TestRoiAlign:
+    def test_constant_map_pools_constant(self):
+        feat = jnp.full((1, 16, 16, 8), 3.0)
+        boxes = jnp.asarray([[[8.0, 8.0, 40.0, 40.0]]])  # image coords, stride 4
+        out = batched_multilevel_roi_align((feat,), boxes, 7, min_level=2)
+        np.testing.assert_allclose(np.asarray(out), 3.0, atol=1e-5)
+
+    def test_linear_ramp_center_values(self):
+        # feature = x coordinate; pooling a box should reproduce bin centers
+        xs = np.tile(np.arange(16, dtype='float32'), (16, 1))
+        feat = jnp.asarray(xs[None, :, :, None])
+        boxes = jnp.asarray([[[4 * 4.0, 4 * 4.0, 12 * 4.0, 12 * 4.0]]])  # stride 4
+        out = np.asarray(batched_multilevel_roi_align((feat,), boxes, 4,
+                                                      min_level=2))[0, 0, ..., 0]
+        # box covers feature coords [3.5, 11.5]; 4 bins of width 2 ->
+        # bin centers at 4.5, 6.5, 8.5, 10.5
+        np.testing.assert_allclose(out[0], [4.5, 6.5, 8.5, 10.5], atol=1e-4)
+
+    def test_level_assignment_multilevel(self):
+        # small box -> P2, large box -> P5
+        feats = tuple(jnp.full((1, s, s, 4), float(i)) for i, s in
+                      enumerate((64, 32, 16, 8)))
+        boxes = jnp.asarray([[[0, 0, 20, 20], [0, 0, 448, 448]]], jnp.float32)
+        out = np.asarray(batched_multilevel_roi_align(feats, boxes, 7))
+        assert out[0, 0].mean() == pytest.approx(0.0, abs=1e-5)   # level P2
+        # sqrt(448^2) / 224 = 2 -> canonical level 4 + 1 = P5
+        assert out[0, 1].mean() == pytest.approx(3.0, abs=1e-5)
+
+    def test_crop_resize_mask(self):
+        mask = np.zeros((32, 32), bool)
+        mask[8:24, 8:24] = True
+        out = np.asarray(crop_resize_mask(jnp.asarray(mask),
+                                          jnp.asarray([8.0, 8.0, 24.0, 24.0]), 8))
+        assert (out > 0.5).mean() > 0.9
+
+
+class TestHeads:
+    def test_heatmaps_to_keypoints(self):
+        d, s, k = 1, 8, 2
+        hm = np.full((d, s, s, k), -10.0, dtype='float32')
+        hm[0, 2, 5, 0] = 10.0   # keypoint 0 at bin (y=2, x=5)
+        hm[0, 7, 0, 1] = 10.0
+        boxes = jnp.asarray([[0.0, 0.0, 80.0, 80.0]])
+        kps = np.asarray(heatmaps_to_keypoints(jnp.asarray(hm), boxes))
+        np.testing.assert_allclose(kps[0, 0, :2], [(5 + .5) * 10, (2 + .5) * 10])
+        np.testing.assert_allclose(kps[0, 1, :2], [5.0, 75.0])
+        assert (kps[..., 2] > 0.9).all()
+
+    def test_keypoint_targets(self):
+        kpts = jnp.asarray([[[10.0, 10.0, 2.0], [200.0, 10.0, 2.0],
+                             [15.0, 15.0, 0.0]]])
+        boxes = jnp.asarray([[0.0, 0.0, 20.0, 20.0]])
+        idx, valid = keypoint_targets(kpts, boxes, 14)
+        valid = np.asarray(valid)[0]
+        assert valid[0] and not valid[1] and not valid[2]
+        # (10, 10) in a 20x20 box -> bin (7, 7)
+        assert np.asarray(idx)[0, 0] == 7 * 14 + 7
+
+    def test_paste_masks(self):
+        logits = jnp.full((1, 28, 28), 10.0)
+        boxes = jnp.asarray([[10.0, 20.0, 40.0, 50.0]])
+        out = np.asarray(paste_masks(logits, boxes, (64, 64)))
+        assert out[0, 35, 25]           # inside the box
+        assert not out[0, 5, 5]         # outside
+        assert not out[0, 60, 60]
+
+
+class TestInstanceSelection:
+    def test_nms_and_centers(self):
+        n, d, h, w = 2, 3, 16, 16
+        masks = np.zeros((n, d, h, w), bool)
+        masks[0, 0, 2:10, 2:10] = True      # big blob
+        masks[0, 1, 3:9, 3:9] = True        # heavily overlapping
+        masks[0, 2, 12:15, 12:15] = True    # separate blob
+        scores = np.array([[0.9, 0.8, 0.7], [0.5, 0.0, 0.0]])
+        valid = np.array([[True, True, True], [True, False, False]])
+        keep, centers = nms_and_centers(jnp.asarray(masks), jnp.asarray(scores),
+                                        jnp.asarray(valid))
+        keep = np.asarray(keep)
+        assert keep[0].tolist() == [True, False, True]
+        assert not keep[1].any()  # frame 1 mask 0 is empty
+        c = np.asarray(centers)
+        np.testing.assert_allclose(c[0, 0], [5.5, 5.5], atol=1e-5)
+
+    def test_gather_selected(self):
+        masks = jnp.zeros((2, 2, 4, 4), bool).at[0, 1, 1, 1].set(True)
+        kpts = jnp.arange(2 * 2 * 3 * 3, dtype=jnp.float32).reshape(2, 2, 3, 3)
+        sel_m, sel_k = gather_selected(masks, kpts, jnp.asarray([1, 0]),
+                                       jnp.asarray([True, False]))
+        assert np.asarray(sel_m)[0, 1, 1] == 1
+        assert np.isnan(np.asarray(sel_k)[1]).all()
