@@ -52,6 +52,29 @@ def nms_and_centers(masks, scores, valid, iou_threshold: float = 0.5):
 
 
 @jax.jit
+def packbits_device(mask) -> jnp.ndarray:
+    '''Pack a boolean (..., W) mask into (..., ceil(W/8)) uint8 on device
+    (bitorder='big', np.unpackbits-compatible). Shrinks mask transfers 8x —
+    significant when the device link is a low-bandwidth tunnel.'''
+    w = mask.shape[-1]
+    pad = (-w) % 8
+    m = mask.astype(jnp.uint8)
+    if pad:
+        m = jnp.pad(m, [(0, 0)] * (m.ndim - 1) + [(0, pad)])
+    m = m.reshape(m.shape[:-1] + (-1, 8))
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return jnp.sum(m * weights, axis=-1, dtype=jnp.uint8)
+
+
+def unpackbits_host(packed: 'jnp.ndarray', width: int):
+    '''Inverse of :func:`packbits_device` (host numpy).'''
+    import numpy as np
+    arr = np.asarray(packed)
+    bits = np.unpackbits(arr, axis=-1)
+    return bits[..., :width]
+
+
+@jax.jit
 def gather_selected(masks, keypoints, chosen_idx, has_instance):
     '''Gather one instance per frame on device.
 

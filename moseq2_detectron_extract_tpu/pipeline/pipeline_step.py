@@ -7,6 +7,7 @@ input queue, processes them, and forwards results to every output queue; a
 import logging
 import queue
 import threading
+import time
 import traceback
 from typing import List, Optional
 
@@ -26,6 +27,8 @@ class PipelineStep(threading.Thread):
         self.show_progress = show_progress
         self.is_complete = threading.Event()
         self.error_info: Optional[str] = None
+        self.busy_seconds = 0.0
+        self.items_processed = 0
 
     # -- hooks ---------------------------------------------------------------
     def initialize(self):
@@ -81,10 +84,19 @@ class PipelineStep(threading.Thread):
                         continue
                     if data is None:
                         break
+                    t0 = time.perf_counter()
                     result = self.process(data)
+                    self.busy_seconds += time.perf_counter() - t0
+                    self.items_processed += 1
                     if result is not None:
                         self._forward(result)
             self.finalize()
+            if self.items_processed:
+                logging.info('[%s] %.2fs busy over %d chunks (%.2fs/chunk)',
+                             self.step_name.strip(), self.busy_seconds,
+                             self.items_processed,
+                             self.busy_seconds / self.items_processed,
+                             extra={'nostream': True})
             self._forward(None)  # propagate end-of-stream
         except Exception:  # noqa: BLE001 - worker errors surface via WorkerError
             self.error_info = traceback.format_exc()

@@ -16,7 +16,10 @@ from moseq2_detectron_extract_tpu.io.result import (create_extract_h5,
                                                     write_extracted_chunk_to_h5)
 from moseq2_detectron_extract_tpu.io.session import Session, Stream
 from moseq2_detectron_extract_tpu.io.video import PreviewVideoWriter, apply_colormap_jet
-from moseq2_detectron_extract_tpu.ops.instances import gather_selected, nms_and_centers
+from moseq2_detectron_extract_tpu.ops.instances import (gather_selected,
+                                                        nms_and_centers,
+                                                        packbits_device,
+                                                        unpackbits_host)
 from moseq2_detectron_extract_tpu.ops.preprocess import (decode_prepped_frames,
                                                          prep_raw_frames_host,
                                                          scale_raw_frames)
@@ -229,11 +232,13 @@ class ProcessFeaturesStep(PipelineStep):
                                          jnp.asarray(angles), self.crop)
         cropped_masks = crop_and_rotate_frames(masks, jnp.asarray(centroids),
                                                jnp.asarray(angles), self.crop)
-        # the 80x80 crops are the only large device->host transfer per chunk
+        # the 80x80 crops are the only large device->host transfer per chunk;
+        # masks travel bit-packed (8x smaller)
         data['depth_frames'] = np.asarray(
             jnp.clip(jnp.round(cropped), 0, 255).astype(
                 jnp.dtype(self.config['frame_dtype'])))
-        data['mask_frames'] = np.asarray((cropped_masks > 0.5).astype(jnp.uint8))
+        packed = packbits_device(cropped_masks > 0.5)
+        data['mask_frames'] = unpackbits_host(packed, self.crop[1]).astype('uint8')
         return data
 
 

@@ -22,13 +22,25 @@ from moseq2_detectron_extract_tpu.ops.morphology import (make_ellipse_strel,
                                                          make_rect_strel, median_blur,
                                                          morph_open, erode,
                                                          temporal_median)
-from moseq2_detectron_extract_tpu.proc.angles import (angle_difference, clamp_angles_deg,
-                                                      iterative_filter_angles)
+from moseq2_detectron_extract_tpu.proc.angles import iterative_filter_angles
 from moseq2_detectron_extract_tpu.proc.kalman import KalmanTracker
 from moseq2_detectron_extract_tpu.proc.keypoints import rotate_points_batch
 
 _STREL_TAIL = make_ellipse_strel((9, 9))
 _STREL_MIN = make_rect_strel((5, 5))
+
+
+def clamp_angles_deg(angles):
+    '''Clamp angles into [0, 360) — numpy, used in the per-frame host loop
+    (a jnp version here would cost a device round trip per frame).'''
+    angles = np.asarray(angles)
+    return np.where(angles < 0, 360 + angles, angles) % 360
+
+
+def angle_difference(angles1, angles2):
+    '''Smallest signed difference angles2 - angles1 in degrees (numpy).'''
+    diff = (np.asarray(angles2) - np.asarray(angles1)) % 360
+    return np.where(diff > 180, -(360 - diff), diff)
 
 
 def clean_frames(frames, prefilter_space=(3,), prefilter_time=None,

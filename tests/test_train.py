@@ -1,0 +1,170 @@
+'''Training-path tests: augmentations, train step, checkpointing, DP sharding.'''
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from moseq2_detectron_extract_tpu.models.augment import (augment_batch, augment_sample,
+                                                         elastic_deform, grf_field,
+                                                         rescale_intensity)
+from moseq2_detectron_extract_tpu.models.checkpoint import (get_checkpoint,
+                                                            get_last_checkpoint,
+                                                            load_checkpoint,
+                                                            save_checkpoint)
+from moseq2_detectron_extract_tpu.models.config import ModelConfig
+from moseq2_detectron_extract_tpu.models.train import (create_train_state, lr_schedule,
+                                                       make_train_step)
+
+
+def tiny_config(**overrides):
+    base = dict(
+        image_size=64,
+        resnet_stage_blocks=(1, 1, 1, 1), resnet_width=16, fpn_channels=64,
+        box_fc_dim=128, mask_conv_dims=(64, 64), keypoint_conv_dims=(64, 64),
+        rpn_pre_nms_topk_train=64, rpn_pre_nms_topk_test=64,
+        rpn_post_nms_topk_train=64, rpn_post_nms_topk_test=32,
+        roi_batch_size_per_image=16, test_detections_per_image=2,
+        max_gt_instances=2,
+    )
+    base.update(overrides)
+    return ModelConfig(**base)
+
+
+def synthetic_batch(cfg, b=2, seed=0):
+    rng = np.random.default_rng(seed)
+    s, g, k = cfg.image_size, cfg.max_gt_instances, cfg.num_keypoints
+    batch = {
+        'image': rng.uniform(0, 60, (b, s, s)).astype('float32'),
+        'masks': np.zeros((b, g, s, s), bool),
+        'keypoints': np.zeros((b, g, k, 3), 'float32'),
+        'valid': np.zeros((b, g), bool),
+    }
+    batch['masks'][:, 0, 20:44, 16:48] = True
+    batch['image'][:, 20:44, 16:48] = 55.0
+    batch['keypoints'][:, 0, :, 0] = np.linspace(20, 44, k)
+    batch['keypoints'][:, 0, :, 1] = 32.0
+    batch['keypoints'][:, 0, :, 2] = 2.0
+    batch['valid'][:, 0] = True
+    return batch
+
+
+class TestAugmentations:
+    def test_grf_field_power_spectrum(self):
+        f1 = np.asarray(grf_field(jax.random.PRNGKey(0), (64, 64), 10.0, 4.0))
+        f2 = np.asarray(grf_field(jax.random.PRNGKey(0), (64, 64), 10.0, 1.0))
+        assert np.isfinite(f1).all()
+        # higher power exponent -> smoother field (lower high-freq energy)
+        def high_freq_energy(f):
+            spec = np.abs(np.fft.fft2(f))
+            return spec[20:40, 20:40].mean() / max(spec[:3, :3].mean(), 1e-9)
+        assert high_freq_energy(f1) < high_freq_energy(f2)
+
+    def test_rescale_intensity(self):
+        x = jnp.asarray([[0.0, 5.0], [10.0, 2.5]])
+        out = np.asarray(rescale_intensity(x, 40.0))
+        assert out.min() == 0.0
+        assert out.max() == pytest.approx(40.0)
+
+    def test_elastic_deform_preserves_mass_roughly(self):
+        img = jnp.zeros((64, 64)).at[24:40, 24:40].set(1.0)
+        out = np.asarray(elastic_deform(jax.random.PRNGKey(1), img, sigma=2.0))
+        assert out.sum() == pytest.approx(float(img.sum()), rel=0.25)
+
+    def test_augment_sample_geometry_consistency(self):
+        cfg = tiny_config()
+        batch = synthetic_batch(cfg, b=1)
+        out = augment_sample(jax.random.PRNGKey(3),
+                             jnp.asarray(batch['image'][0]),
+                             jnp.asarray(batch['masks'][0]),
+                             jnp.asarray(batch['keypoints'][0]),
+                             jnp.asarray(batch['valid'][0]), cfg)
+        mask = np.asarray(out['masks'][0])
+        box = np.asarray(out['boxes'][0])
+        assert np.asarray(out['valid'])[0]
+        ys, xs = np.nonzero(mask)
+        # recomputed box must tightly bound the augmented mask
+        assert box[0] == pytest.approx(xs.min(), abs=1.0)
+        assert box[2] == pytest.approx(xs.max() + 1, abs=1.0)
+        # visible keypoints should lie within the (slightly padded) box
+        kpts = np.asarray(out['keypoints'][0])
+        vis = kpts[:, 2] > 0
+        assert vis.any()
+        assert (kpts[vis, 0] >= box[0] - 3).all() and (kpts[vis, 0] <= box[2] + 3).all()
+
+    def test_augment_batch_shapes(self):
+        cfg = tiny_config()
+        batch = synthetic_batch(cfg, b=2)
+        images, gt = augment_batch(jax.random.PRNGKey(0),
+                                   jnp.asarray(batch['image']),
+                                   jnp.asarray(batch['masks']),
+                                   jnp.asarray(batch['keypoints']),
+                                   jnp.asarray(batch['valid']), cfg)
+        assert images.shape == (2, 64, 64, 3)
+        assert gt['boxes'].shape == (2, 2, 4)
+        assert np.isfinite(np.asarray(images)).all()
+
+
+class TestTrainStep:
+    def test_losses_finite_and_step_advances(self):
+        cfg = tiny_config()
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        step_fn = make_train_step(cfg)
+        batch = synthetic_batch(cfg)
+        from moseq2_detectron_extract_tpu.models.augment import augment_batch as ab
+        images, gt = ab(jax.random.PRNGKey(1), jnp.asarray(batch['image']),
+                        jnp.asarray(batch['masks']), jnp.asarray(batch['keypoints']),
+                        jnp.asarray(batch['valid']), cfg)
+        metrics = None
+        for i in range(3):
+            state, metrics = step_fn(state, {'images': images, 'gt': gt},
+                                     jax.random.PRNGKey(10 + i))
+        assert int(state.step) == 3
+        total = float(np.asarray(metrics['total_loss']))
+        assert np.isfinite(total)
+
+    def test_lr_schedule(self):
+        cfg = ModelConfig()
+        sched = lr_schedule(cfg)
+        warm = float(sched(0))
+        assert warm < cfg.base_lr * 0.01
+        mid = float(sched(50_000))
+        assert mid == pytest.approx(cfg.base_lr, rel=1e-5)
+        late = float(sched(75_000))
+        assert late == pytest.approx(cfg.base_lr * cfg.lr_gamma, rel=1e-5)
+        end = float(sched(95_000))
+        assert end == pytest.approx(cfg.base_lr * cfg.lr_gamma ** 3, rel=1e-4)
+
+
+class TestCheckpointing:
+    def test_save_load_round_trip(self, tmp_path):
+        cfg = tiny_config()
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        model_dir = str(tmp_path / 'model')
+        path = save_checkpoint(model_dir, 42, state._asdict())
+        assert get_last_checkpoint(model_dir) == path
+        assert get_checkpoint(model_dir, '42') == path
+        restored = load_checkpoint(path, template=state._asdict())
+        leaf_a = jax.tree.leaves(state.params)[0]
+        leaf_b = jax.tree.leaves(restored['params'])[0]
+        np.testing.assert_allclose(np.asarray(leaf_a), np.asarray(leaf_b))
+
+
+class TestDataParallel:
+    def test_dp_step_on_virtual_mesh(self):
+        if len(jax.devices()) < 2:
+            pytest.skip('needs multiple (virtual) devices')
+        from moseq2_detectron_extract_tpu.parallel import (make_dp_train_step, make_mesh,
+                                                           replicate_state, shard_batch)
+        cfg = tiny_config()
+        n = min(4, len(jax.devices()))
+        mesh = make_mesh(n)
+        state = replicate_state(mesh, create_train_state(cfg, jax.random.PRNGKey(0)))
+        batch = synthetic_batch(cfg, b=n)
+        with mesh:
+            step = make_dp_train_step(cfg, mesh)
+            state, metrics = step(state, shard_batch(mesh, batch), jax.random.PRNGKey(1))
+        assert np.isfinite(float(np.asarray(metrics['total_loss'])))
+        assert int(np.asarray(state.step)) == 1
