@@ -90,6 +90,22 @@ class Predictor:
             'mask_probs': out['mask_probs'],
         }
 
+    def _step_with_retry(self, batch, frame_shape, attempts: int = 3):
+        '''Remote-compile services can drop connections transiently; retry.'''
+        for attempt in range(attempts):
+            try:
+                return self._step(batch, frame_shape)
+            except Exception as exc:  # noqa: BLE001
+                transient = 'INTERNAL' in str(exc) or 'remote_compile' in str(exc)
+                if attempt == attempts - 1 or not transient:
+                    raise
+                import logging
+                import time
+                logging.warning('transient device error (attempt %d): %s',
+                                attempt + 1, str(exc)[:200])
+                time.sleep(2.0 * (attempt + 1))
+        raise RuntimeError('unreachable')
+
     # ------------------------------------------------------------------ call
     def __call__(self, frames, return_device: bool = False) -> Dict[str, np.ndarray]:
         '''Run inference over (N, H, W[, C]) frames in fixed-size batches.
@@ -112,7 +128,7 @@ class Predictor:
             if pad:  # only when n < batch_size
                 batch = jnp.concatenate(
                     [batch, jnp.zeros((pad, h, w), batch.dtype)])
-            out = self._step(batch, (h, w))
+            out = self._step_with_retry(batch, (h, w))
             if start + self.batch_size > n:
                 keep = n - start
                 skip = self.batch_size - keep

@@ -47,7 +47,19 @@ def clean_frames(frames, prefilter_space=(3,), prefilter_time=None,
                  strel_tail=None, iters_tail: Optional[int] = None,
                  frame_dtype='uint8', strel_min=None, iters_min: Optional[int] = None):
     '''Median filter + morphological opening, batched on device
-    (m2de/proc/proc.py:480-515).'''
+    (m2de/proc/proc.py:480-515).
+
+    The extract-default parameter set (median3 + 9x9-ellipse open x3 on uint8)
+    dispatches to the fused Pallas kernel on TPU (ops/pallas_clean.py).
+    '''
+    default_params = (tuple(prefilter_space or ()) == (3,) and prefilter_time is None
+                      and strel_tail is None and iters_tail == 3
+                      and strel_min is None and not iters_min
+                      and jnp.dtype(frame_dtype) == jnp.uint8)
+    if default_params and jax.default_backend() == 'tpu':
+        from moseq2_detectron_extract_tpu.ops.pallas_clean import fused_clean_frames
+        return fused_clean_frames(jnp.asarray(frames).astype(frame_dtype))
+
     x = jnp.asarray(frames).astype(frame_dtype)  # stays on device if already there
     if strel_tail is None:
         strel_tail = _STREL_TAIL
