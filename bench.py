@@ -97,7 +97,9 @@ def run_extract(session_path, predictor, output_dir, bground):
 def main():
     import tempfile
     import logging
-    logging.basicConfig(level=logging.WARNING)
+    from moseq2_detectron_extract_tpu.io.util import setup_logging
+    setup_logging(level=logging.INFO)   # stage timings reach per-run log files
+    logging.getLogger().handlers[0].setLevel(logging.WARNING)  # quiet console
 
     import jax
     from moseq2_detectron_extract_tpu.models.config import ModelConfig

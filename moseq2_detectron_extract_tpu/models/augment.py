@@ -159,6 +159,18 @@ def doughnut_grf_noise(key, image, animal_mask, p=0.5):
     return jnp.where(apply, image + field, image)
 
 
+def max_blend(image, src_image):
+    '''Per-pixel max blend (m2de/model/augmentations/occlude_transform.py
+    MaxBlendTransform).'''
+    return jnp.where(image > src_image, image, src_image)
+
+
+def threshold_blend(image, src_image, threshold):
+    '''Keep image where it exceeds ``threshold``, else take ``src_image``
+    (ThresholdBlendTransform).'''
+    return jnp.where(image > threshold, image, src_image)
+
+
 def gauss_noise(key, image, p=0.5):
     '''Albumentations GaussNoise (var 10-50) equivalent.'''
     k_apply, k_var, k_noise = jax.random.split(key, 3)

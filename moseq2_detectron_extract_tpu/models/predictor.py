@@ -51,8 +51,7 @@ class Predictor:
         return cls(cfg, params, batch_size=batch_size, score_threshold=score_threshold)
 
     # ------------------------------------------------------------------ step
-    @functools.partial(jax.jit, static_argnames=('self', 'frame_shape'))
-    def _step(self, frames, frame_shape: Tuple[int, int]):
+    def _step_impl(self, frames, frame_shape: Tuple[int, int]):
         '''frames (B, H, W) uint8 -> detection dict at frame resolution.'''
         cfg = self.cfg
         h, w = frame_shape
@@ -90,11 +89,34 @@ class Predictor:
             'mask_probs': out['mask_probs'],
         }
 
+    @functools.partial(jax.jit, static_argnames=('self', 'frame_shape'))
+    def _step(self, frames, frame_shape: Tuple[int, int]):
+        return self._step_impl(frames, frame_shape)
+
+    @functools.partial(jax.jit, static_argnames=('self', 'frame_shape'))
+    def _chunk_step(self, frames, frame_shape: Tuple[int, int]):
+        '''Whole-chunk inference as ONE device program: frames (N, H, W) with
+        N a multiple of batch_size; batches run sequentially via lax.map so
+        activation memory stays bounded while host<->device round trips drop
+        from N/batch to one.'''
+        n, h, w = frames.shape
+        nb = n // self.batch_size
+        batched = frames.reshape(nb, self.batch_size, h, w)
+        return jax.lax.map(lambda b: self._step_impl(b, frame_shape), batched)
+
+    def _chunk_with_retry(self, frames, frame_shape, attempts: int = 3):
+        '''Retry wrapper for the chunk-level program.'''
+        return self._retry(lambda: self._chunk_step(frames, frame_shape), attempts)
+
     def _step_with_retry(self, batch, frame_shape, attempts: int = 3):
+        '''Retry wrapper for the per-batch program.'''
+        return self._retry(lambda: self._step(batch, frame_shape), attempts)
+
+    def _retry(self, fn, attempts: int = 3):
         '''Remote-compile services can drop connections transiently; retry.'''
         for attempt in range(attempts):
             try:
-                return self._step(batch, frame_shape)
+                return fn()
             except Exception as exc:  # noqa: BLE001
                 transient = 'INTERNAL' in str(exc) or 'remote_compile' in str(exc)
                 if attempt == attempts - 1 or not transient:
@@ -118,6 +140,15 @@ class Predictor:
             frames = frames[..., 0]
         n, h, w = frames.shape
         dev_frames = jnp.asarray(frames)
+
+        if return_device and n >= self.batch_size:
+            # single-program path: pad N up to a batch multiple, one dispatch
+            pad = (-n) % self.batch_size
+            if pad:
+                dev_frames = jnp.concatenate(
+                    [dev_frames, jnp.zeros((pad, h, w), dev_frames.dtype)])
+            out = self._chunk_with_retry(dev_frames, (h, w))
+            return {k: v.reshape((-1,) + v.shape[2:])[:n] for k, v in out.items()}
 
         outs = []
         for start in range(0, n, self.batch_size):

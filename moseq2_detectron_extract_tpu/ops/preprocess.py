@@ -149,28 +149,34 @@ def prep_raw_frames_host(frames: np.ndarray, bground_im=None, roi=None,
     volume vs uploading raw uint16.
     '''
     frames = np.asarray(frames)
-    invalid = frames == 0
 
-    x = frames.astype('float32')
-    if bground_im is not None:
-        bg = np.asarray(bground_im, dtype='float32')
-        x = bg[None] - x
+    # crop to the ROI bbox FIRST so every later pass touches less memory
+    roi_crop = None
     if roi is not None:
         roi_np = np.asarray(roi)
         bbox = bbox_from_roi(roi_np)
         if bbox is not None:
             (y0, x0), (y1, x1) = bbox
-            x = x[:, y0:y1, x0:x1] * roi_np[y0:y1, x0:x1]
-            invalid = invalid[:, y0:y1, x0:x1]
+            frames = frames[:, y0:y1, x0:x1]
+            roi_crop = roi_np[y0:y1, x0:x1]
+            if bground_im is not None:
+                bground_im = np.asarray(bground_im)[y0:y1, x0:x1]
         else:
-            x = x * roi_np
-    if vmin is not None:
-        x[x < vmin] = 0
-    if vmax is not None:
-        np.minimum(x, vmax, out=x)
+            roi_crop = roi_np
 
+    invalid = frames == 0
+
+    # integer arithmetic end to end (depth values fit int32 comfortably)
+    x = frames.astype('int32', copy=True)
+    if bground_im is not None:
+        np.subtract(np.asarray(bground_im, dtype='int32')[None], x, out=x)
+    if roi_crop is not None:
+        x *= roi_crop.astype('int32')
+    if vmin is not None:
+        x[x < int(np.ceil(vmin))] = 0
     info = np.iinfo(np.dtype(dtype))
-    np.clip(x, info.min, info.max - 1, out=x)
+    hi = int(vmax) if vmax is not None else info.max - 1
+    np.clip(x, 0 if vmin is not None else info.min, min(hi, info.max - 1), out=x)
     out = x.astype(dtype)
     out[invalid] = info.max  # sentinel for the device-side fill
     return out

@@ -95,6 +95,44 @@ def iterative_filter_angles(angles, window: int = 3, tolerance: float = 60.0,
     return curr, flips
 
 
+def hampel_filter(data: np.ndarray, span: int, sigma: float = 3) -> np.ndarray:
+    '''Hampel (median/MAD) outlier replacement over a sliding window
+    (m2de/proc/proc.py:453-477). 1D or 2D (per-column) data.'''
+    data = np.asarray(data, dtype=float).copy()
+
+    def _filter_1d(col):
+        padded = np.pad(col, (span // 2, span // 2), 'constant',
+                        constant_values=np.nan)
+        windows = np.lib.stride_tricks.sliding_window_view(padded, span)
+        med = np.nanmedian(windows, axis=1)
+        mad = np.nanmedian(np.abs(windows - med[:, None]), axis=1)
+        vals = np.abs(col - med[:len(col)])
+        fill = vals > med[:len(col)] + sigma * mad[:len(col)]
+        col[fill] = med[:len(col)][fill]
+        return col
+
+    if data.ndim == 1:
+        return _filter_1d(data)
+    if data.ndim == 2:
+        for i in range(data.shape[1]):
+            data[:, i] = _filter_1d(data[:, i])
+        return data
+    raise ValueError(f'cannot accept data with {data.ndim} dimentions!')
+
+
+def feature_hampel_filter(features: dict, centroid_hampel_span=None,
+                          centroid_hampel_sig=3, angle_hampel_span=None,
+                          angle_hampel_sig=3) -> dict:
+    '''Hampel-filter centroid/orientation features (m2de/proc/proc.py:420-450).'''
+    if centroid_hampel_span is not None and centroid_hampel_span > 0:
+        features['centroid'][:, 0] = hampel_filter(
+            features['centroid'][:, 0], centroid_hampel_span, centroid_hampel_sig)
+    if angle_hampel_span is not None and angle_hampel_span > 0:
+        features['orientation'] = hampel_filter(
+            features['orientation'], angle_hampel_span, angle_hampel_sig)
+    return features
+
+
 def interpolate_nan_values(data: np.ndarray) -> np.ndarray:
     '''Linear interpolation over NaN entries (m2de/proc/proc.py:988-994).'''
     data = np.asarray(data, dtype=float).copy()

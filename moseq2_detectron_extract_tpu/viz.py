@@ -28,6 +28,53 @@ except ImportError:  # pragma: no cover
 
 
 # ---------------------------------------------------------------------------
+# video composition (m2de/proc/proc.py:20-126)
+# ---------------------------------------------------------------------------
+
+def colorize_video(frames: np.ndarray, vmin: float = 0, vmax: float = 100,
+                   cmap: str = 'jet') -> np.ndarray:
+    '''Colorize single-channel video (N, H, W) -> uint8 RGB (N, H, W, 3).'''
+    del cmap  # only the jet-style map is supported without matplotlib
+    return apply_colormap_jet(np.asarray(frames), vmin, vmax)
+
+
+def stack_videos(videos, orientation: str = 'horizontal') -> np.ndarray:
+    '''Stack equal-length RGB videos into one composite
+    (m2de/proc/proc.py:20-62). orientation: horizontal|vertical|diagional.'''
+    videos = [np.asarray(v) for v in videos]
+    nframes = videos[0].shape[0]
+    channels = videos[0].shape[3]
+    if any(v.shape[0] != nframes or v.shape[3] != channels for v in videos):
+        raise ValueError('videos must share frame count and channel count')
+    heights = [v.shape[1] for v in videos]
+    widths = [v.shape[2] for v in videos]
+
+    if orientation == 'horizontal':
+        height, width = max(heights), sum(widths)
+    elif orientation == 'vertical':
+        height, width = sum(heights), max(widths)
+    elif orientation == 'diagional':
+        height, width = sum(heights), sum(widths)
+    else:
+        raise ValueError(f'Unknown orientation "{orientation}"')
+
+    out = np.zeros((nframes, height, width, channels), videos[0].dtype)
+    off_h = off_w = 0
+    for v in videos:
+        if orientation == 'horizontal':
+            out[:, :v.shape[1], off_w:off_w + v.shape[2]] = v
+            off_w += v.shape[2]
+        elif orientation == 'vertical':
+            out[:, off_h:off_h + v.shape[1], :v.shape[2]] = v
+            off_h += v.shape[1]
+        else:
+            out[:, off_h:off_h + v.shape[1], off_w:off_w + v.shape[2]] = v
+            off_h += v.shape[1]
+            off_w += v.shape[2]
+    return out
+
+
+# ---------------------------------------------------------------------------
 # fast drawing (m2de/viz.py:132-294)
 # ---------------------------------------------------------------------------
 
