@@ -110,15 +110,56 @@ def kalman_filter_step(params: KalmanParams, mean, cov, obs, missing):
     return new_mean, new_cov, pred_mean, pred_cov
 
 
-def kalman_filter(params: KalmanParams, observations, missing):
+def _native_lib():
+    from moseq2_detectron_extract_tpu.native import load_kalman_lib
+    return load_kalman_lib()
+
+
+def _as_c(a):
+    import ctypes
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def kalman_filter(params: KalmanParams, observations, missing,
+                  use_native: bool = True):
     '''Forward filter over (T, O) observations with per-timestep missing flags.
 
     The first timestep updates the prior (initial_mean/cov) directly like
     pykalman (no transition before t=0). Returns dict of filtered/predicted
-    means and covariances.
+    means and covariances. Uses the C++ core (native/kalman_native.cpp) when
+    available — the recurrence is tiny-matrix sequential work that numpy
+    dispatch overhead dominates.
     '''
     observations = np.asarray(observations, dtype=np.float64)
     missing = np.asarray(missing, dtype=bool)
+
+    lib = _native_lib() if use_native else None
+    if lib is not None:
+        import ctypes
+        T = observations.shape[0]
+        S = params.transition.shape[0]
+        O = params.observation.shape[0]
+        A = np.ascontiguousarray(params.transition, np.float64)
+        C = np.ascontiguousarray(params.observation, np.float64)
+        Q = np.ascontiguousarray(params.transition_cov, np.float64)
+        R = np.ascontiguousarray(params.observation_cov, np.float64)
+        mu0 = np.ascontiguousarray(params.initial_mean, np.float64)
+        S0 = np.ascontiguousarray(params.initial_cov, np.float64)
+        obs = np.ascontiguousarray(observations)
+        miss = np.ascontiguousarray(missing.astype(np.uint8))
+        means = np.empty((T, S))
+        covs = np.empty((T, S, S))
+        pred_means = np.empty((T, S))
+        pred_covs = np.empty((T, S, S))
+        rc = lib.kalman_filter_native(
+            _as_c(A), _as_c(C), _as_c(Q), _as_c(R), _as_c(mu0), _as_c(S0),
+            _as_c(obs), miss.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            T, S, O, _as_c(means), _as_c(covs), _as_c(pred_means),
+            _as_c(pred_covs))
+        if rc == 0:
+            return {'means': means, 'covs': covs,
+                    'pred_means': pred_means, 'pred_covs': pred_covs}
+        # numerical failure: fall through to the numpy path
     A, C = params.transition, params.observation
     T = observations.shape[0]
     S_dim = A.shape[0]
@@ -148,13 +189,34 @@ def kalman_filter(params: KalmanParams, observations, missing):
             'pred_means': pred_means, 'pred_covs': pred_covs}
 
 
-def kalman_smooth(params: KalmanParams, observations, missing):
+def kalman_smooth(params: KalmanParams, observations, missing,
+                  use_native: bool = False):
+    # note: numpy/BLAS wins the dense backward pass at these state sizes;
+    # the native core is kept for BLAS-less deployments (validated in tests)
     '''RTS smoother. Returns smoothed means/covs and lag-one covariances
     (V_{t+1, t | T} for t = 0..T-2) for EM.'''
-    filt = kalman_filter(params, observations, missing)
+    filt = kalman_filter(params, observations, missing, use_native=use_native)
     A = params.transition
     T = filt['means'].shape[0]
     S_dim = A.shape[0]
+
+    lib = _native_lib() if use_native else None
+    if lib is not None and T >= 2:
+        A_c = np.ascontiguousarray(A, np.float64)
+        means = np.ascontiguousarray(filt['means'])
+        covs = np.ascontiguousarray(filt['covs'])
+        pred_means = np.ascontiguousarray(filt['pred_means'])
+        pred_covs = np.ascontiguousarray(filt['pred_covs'])
+        s_means = np.empty_like(means)
+        s_covs = np.empty_like(covs)
+        lag = np.empty((T - 1, S_dim, S_dim))
+        rc = lib.kalman_smooth_native(
+            _as_c(A_c), _as_c(means), _as_c(covs), _as_c(pred_means),
+            _as_c(pred_covs), T, S_dim, _as_c(s_means), _as_c(s_covs),
+            _as_c(lag))
+        if rc == 0:
+            return {'means': s_means, 'covs': s_covs, 'lag_one_covs': lag,
+                    'filtered': filt}
 
     s_means = np.empty_like(filt['means'])
     s_covs = np.empty_like(filt['covs'])

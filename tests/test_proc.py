@@ -276,3 +276,29 @@ class TestInstancesToFeatures:
         assert point_tracker.is_initialized and angle_tracker.is_initialized
         assert out['features']['orientation'].shape == (len(raw),)
         assert np.isfinite(out['features']['centroid']).all()
+
+
+class TestNativeKalman:
+    def test_native_matches_numpy(self, rng):
+        from moseq2_detectron_extract_tpu.native import load_kalman_lib
+        import pytest as _pytest
+        if load_kalman_lib() is None:
+            _pytest.skip('no native toolchain')
+        from moseq2_detectron_extract_tpu.proc import kalman as K
+        S, O, T = 12, 4, 200
+        A = np.eye(S) + np.diag(np.ones(S - 1) * 0.1, 1)
+        C = np.zeros((O, S))
+        C[np.arange(O), np.arange(O) * 3] = 1
+        params = K.KalmanParams(A, C, np.eye(S) * 0.01, np.eye(O), np.zeros(S),
+                                np.eye(S))
+        obs = rng.normal(0, 1, (T, O))
+        missing = np.zeros(T, bool)
+        missing[50:60] = True
+        f_np = K.kalman_filter(params, obs, missing, use_native=False)
+        f_c = K.kalman_filter(params, obs, missing, use_native=True)
+        for k in ('means', 'covs', 'pred_means', 'pred_covs'):
+            np.testing.assert_allclose(f_np[k], f_c[k], atol=1e-9)
+        s_np = K.kalman_smooth(params, obs, missing, use_native=False)
+        s_c = K.kalman_smooth(params, obs, missing, use_native=True)
+        for k in ('means', 'covs', 'lag_one_covs'):
+            np.testing.assert_allclose(s_np[k], s_c[k], atol=1e-9)
