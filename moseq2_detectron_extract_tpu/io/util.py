@@ -208,9 +208,17 @@ def setup_logging(level: int = logging.INFO, add_defered_file_handler: bool = Fa
 
 
 def attach_file_logger(log_path: str) -> None:
-    '''Attach a file handler, flushing any buffered early records into it.'''
+    '''Attach a file handler, flushing any buffered early records into it.
+
+    Any previously attached extraction file handler is removed first so
+    back-to-back sessions in one process do not cross-log.
+    '''
     global _MEMORY_HANDLER
     root = logging.getLogger()
+    for handler in list(root.handlers):
+        if isinstance(handler, logging.FileHandler):
+            root.removeHandler(handler)
+            handler.close()
     file_handler = logging.FileHandler(log_path, mode='a', encoding='utf-8')
     file_handler.setFormatter(logging.Formatter('%(asctime)s [%(levelname)s] %(message)s'))
     if _MEMORY_HANDLER is not None:

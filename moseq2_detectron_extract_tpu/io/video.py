@@ -265,14 +265,31 @@ def get_movie_info(filename: Union[str, tarfile.TarInfo],
     raise RuntimeError(f'unknown movie format: {fname}')
 
 
-def apply_colormap_jet(frames: np.ndarray, vmin: float = 0, vmax: float = 100) -> np.ndarray:
-    '''False-color single channel frames with a jet-like colormap → uint8 RGB.'''
-    x = np.clip((frames.astype('float32') - vmin) / max(vmax - vmin, 1e-6), 0.0, 1.0)
-    # piecewise-linear jet approximation (vectorized, no matplotlib dependency)
+def _jet_lut() -> np.ndarray:
+    x = np.linspace(0.0, 1.0, 256)
     r = np.clip(1.5 - np.abs(4.0 * x - 3.0), 0, 1)
     g = np.clip(1.5 - np.abs(4.0 * x - 2.0), 0, 1)
     b = np.clip(1.5 - np.abs(4.0 * x - 1.0), 0, 1)
     return (np.stack([r, g, b], axis=-1) * 255).astype('uint8')
+
+
+_JET_LUT = _jet_lut()
+
+
+def apply_colormap_jet(frames: np.ndarray, vmin: float = 0, vmax: float = 100) -> np.ndarray:
+    '''False-color single channel frames with a jet-like colormap -> uint8 RGB.
+
+    Implemented as a 256-entry LUT gather: one integer pass over the frames
+    instead of ~10 float passes (matters on weak host cores).
+    '''
+    frames = np.asarray(frames)
+    scale = 255.0 / max(vmax - vmin, 1e-6)
+    if frames.dtype == np.uint8:
+        # fold the intensity rescale into the LUT: zero arithmetic per pixel
+        vals = np.clip((np.arange(256) - vmin) * scale, 0, 255).astype('uint8')
+        return _JET_LUT[vals][frames]
+    idx = np.clip((frames.astype('float32') - vmin) * scale, 0, 255).astype('uint8')
+    return _JET_LUT[idx]
 
 
 class PreviewVideoWriter:
