@@ -48,7 +48,7 @@ def nms_and_centers(masks, scores, valid, iou_threshold: float = 0.5):
     cx = jnp.einsum('ndp,p->nd', m, xgrid) / safe_area
     centers = jnp.stack([cy, cx], axis=-1)
     centers = jnp.where((area > 0)[..., None], centers, jnp.nan)
-    return keep, centers
+    return keep, centers, iou
 
 
 @jax.jit

@@ -138,9 +138,9 @@ class ProcessFeaturesStep(PipelineStep):
         else:
             self.point_tracker = None
             self.angle_tracker = None
-        self.instance_log_path = os.path.join(config['output_dir'], 'instance_log.tsv')
-        with open(self.instance_log_path, 'w', encoding='utf-8') as fh:
-            fh.write('frame\tnum_instances\tscores\n')
+        from moseq2_detectron_extract_tpu.models.instance_logger import InstanceLogger
+        self.instance_log = InstanceLogger(
+            os.path.join(config['output_dir'], 'instance_log.tsv'))
 
     def process(self, data):
         data = self._select_instances(data)
@@ -148,6 +148,9 @@ class ProcessFeaturesStep(PipelineStep):
         data = self._crop_and_rotate(data)
         self.update_progress(len(data['frame_idxs']))
         return data
+
+    def finalize(self):
+        self.instance_log.close()
 
     def _select_instances(self, data):
         '''Device NMS + centers; the sequential SORT-style tracker runs on host
@@ -157,36 +160,41 @@ class ProcessFeaturesStep(PipelineStep):
         keypoints_dev = jnp.asarray(inference['keypoints'])  # (N, D, K, 3)
         expected = self.config.get('expected_instances', 1)
 
-        keep_dev, centers_dev = nms_and_centers(
+        keep_dev, centers_dev, iou_dev = nms_and_centers(
             masks_dev, jnp.asarray(inference['scores']),
             jnp.asarray(inference['valid']))
         keep = np.asarray(keep_dev)            # (N, D) - tiny transfers
         centers = np.asarray(centers_dev)      # (N, D, 2)
         scores = np.asarray(inference['scores'])
         n, d = keep.shape
+        multi = keep.sum(axis=1) > 1
+        iou = np.asarray(iou_dev) if multi.any() else None
+        kpts_host = np.asarray(keypoints_dev) if multi.any() else None
 
         chosen_idx = np.zeros(n, dtype='int32')
         num_instances = np.zeros(n, dtype=int)
-        with open(self.instance_log_path, 'a', encoding='utf-8') as log:
-            n_true = len(data['frame_idxs'])
-            for i in range(n):
-                keep_idx = np.flatnonzero(keep[i])  # in score order by construction
-                keep_idx = keep_idx[np.argsort(-scores[i][keep_idx])]
-                if i < n_true:
-                    log.write(f"{data['frame_idxs'][i]}\t{len(keep_idx)}\t"
-                              f"{','.join(f'{scores[i, j]:.3f}' for j in keep_idx)}\n")
+        n_true = len(data['frame_idxs'])
+        for i in range(n):
+            keep_idx = np.flatnonzero(keep[i])
+            keep_idx = keep_idx[np.argsort(-scores[i][keep_idx])]
+            if i < n_true:
+                self.instance_log.log_frame(
+                    int(data['frame_idxs'][i]), keep_idx, scores[i],
+                    mask_iou=iou[i] if iou is not None else None,
+                    centers=centers[i],
+                    keypoints=kpts_host[i] if kpts_host is not None else None)
 
-                tracked = self.instance_tracker.update(centers[i], keep[i])
-                if len(tracked) > 1:
-                    tracked.sort(key=lambda o: o.age, reverse=True)
-                    chosen = [o.last_detection_index for o in tracked[:expected]
-                              if o.last_detection_index is not None]
-                else:
-                    chosen = list(keep_idx[:expected])
+            tracked = self.instance_tracker.update(centers[i], keep[i])
+            if len(tracked) > 1:
+                tracked.sort(key=lambda o: o.age, reverse=True)
+                chosen = [o.last_detection_index for o in tracked[:expected]
+                          if o.last_detection_index is not None]
+            else:
+                chosen = list(keep_idx[:expected])
 
-                num_instances[i] = len(chosen)
-                if chosen:
-                    chosen_idx[i] = chosen[0]
+            num_instances[i] = len(chosen)
+            if chosen:
+                chosen_idx[i] = chosen[0]
 
         sel_masks, sel_kpts = gather_selected(
             masks_dev, keypoints_dev, jnp.asarray(chosen_idx),

@@ -216,8 +216,8 @@ class TestInstanceSelection:
         masks[0, 2, 12:15, 12:15] = True    # separate blob
         scores = np.array([[0.9, 0.8, 0.7], [0.5, 0.0, 0.0]])
         valid = np.array([[True, True, True], [True, False, False]])
-        keep, centers = nms_and_centers(jnp.asarray(masks), jnp.asarray(scores),
-                                        jnp.asarray(valid))
+        keep, centers, _iou = nms_and_centers(jnp.asarray(masks), jnp.asarray(scores),
+                                              jnp.asarray(valid))
         keep = np.asarray(keep)
         assert keep[0].tolist() == [True, False, True]
         assert not keep[1].any()  # frame 1 mask 0 is empty
