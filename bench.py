@@ -109,7 +109,10 @@ def main():
     nframes = int(os.environ.get('BENCH_FRAMES', 3000))
     batch_size = int(os.environ.get('BENCH_BATCH', 32))
 
-    cfg = ModelConfig()
+    # detections capped at 1: the production workload has one mouse, and the
+    # random-weight model at threshold 0 would otherwise emit 4 fake
+    # instances/frame and exercise the (rare) multi-instance paths everywhere
+    cfg = ModelConfig(test_detections_per_image=1)
     model = MaskKeypointRCNN(cfg)
     import jax.numpy as jnp
     images = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)

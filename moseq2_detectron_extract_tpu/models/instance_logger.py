@@ -20,7 +20,8 @@ class InstanceLogger:
         self.path = path
         with open(self.path, 'w', encoding='utf-8') as fh:
             fh.write(self.HEADER)
-        self._fh = open(self.path, 'a', encoding='utf-8')
+        # large buffer: per-frame writes must not hit the filesystem
+        self._fh = open(self.path, 'a', encoding='utf-8', buffering=1 << 20)
 
     def log_frame(self, frame_idx: int, kept_idx, scores,
                   mask_iou: Optional[np.ndarray] = None,
