@@ -312,6 +312,8 @@ class PreviewVideoWriter:
     def _frame_to_rgb(self, frame: np.ndarray, frame_no: Optional[int]) -> np.ndarray:
         if frame.ndim == 2:
             rgb = apply_colormap_jet(frame[None], self.vmin, self.vmax)[0]
+        elif frame.dtype == np.uint8:
+            rgb = np.ascontiguousarray(frame)  # no copy when already packed
         else:
             rgb = frame.astype('uint8')
         if frame_no is not None:

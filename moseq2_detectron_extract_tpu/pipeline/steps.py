@@ -327,12 +327,13 @@ class PreviewVideoWriterStep(PipelineStep):
         crop_rgb = apply_colormap_jet(cropped, vmin, vmax)
         mask_rgb = np.repeat((masks * 255).astype('uint8')[..., None], 3, axis=-1)
 
-        # composite: arena left, cropped + mask stacked right
+        # composite: arena left, cropped + mask stacked right (even dims so
+        # the writer never pads/copies the whole chunk)
         n, ah, aw = chunk.shape
         ch, cw = cropped.shape[1:3]
         right_h = ch * 2
-        height = max(ah, right_h)
-        width = aw + cw
+        height = (max(ah, right_h) + 1) // 2 * 2
+        width = (aw + cw + 1) // 2 * 2
         canvas = np.zeros((n, height, width, 3), dtype='uint8')
         canvas[:, :ah, :aw] = arena
         canvas[:, :ch, aw:aw + cw] = crop_rgb
