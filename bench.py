@@ -107,7 +107,7 @@ def main():
     from moseq2_detectron_extract_tpu.models.rcnn import MaskKeypointRCNN
 
     nframes = int(os.environ.get('BENCH_FRAMES', 3000))
-    batch_size = int(os.environ.get('BENCH_BATCH', 32))
+    batch_size = int(os.environ.get('BENCH_BATCH', 64))
 
     # detections capped at 1: the production workload has one mouse, and the
     # random-weight model at threshold 0 would otherwise emit 4 fake
