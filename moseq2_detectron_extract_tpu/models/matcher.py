@@ -10,7 +10,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from moseq2_detectron_extract_tpu.models.boxes import pairwise_iou
+from moseq2_detectron_extract_tpu.ops.boxes import pairwise_iou
 
 
 def match_anchors_to_gt(anchors, gt_boxes, gt_valid, high_thresh: float,

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from moseq2_detectron_extract_tpu.models.anchors import generate_anchors
-from moseq2_detectron_extract_tpu.models.boxes import (clip_boxes, decode_boxes,
+from moseq2_detectron_extract_tpu.ops.boxes import (clip_boxes, decode_boxes,
                                                        encode_boxes)
 from moseq2_detectron_extract_tpu.models.config import ModelConfig
 from moseq2_detectron_extract_tpu.models.fpn import FPN
@@ -214,7 +214,7 @@ class MaskKeypointRCNN(nn.Module):
         roi_keys = jax.random.split(roi_rng, b)
 
         def per_image_sample(img_props, img_pvalid, img_gt, img_gt_valid, key):
-            from moseq2_detectron_extract_tpu.models.boxes import pairwise_iou
+            from moseq2_detectron_extract_tpu.ops.boxes import pairwise_iou
             iou = pairwise_iou(img_props, img_gt)
             iou = jnp.where(img_gt_valid[None, :], iou, -1.0)
             iou = jnp.where(img_pvalid[:, None], iou, -1.0)

@@ -10,7 +10,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from moseq2_detectron_extract_tpu.models.boxes import (clip_boxes, decode_boxes,
+from moseq2_detectron_extract_tpu.ops.boxes import (clip_boxes, decode_boxes,
                                                        encode_boxes, nonempty_boxes)
 from moseq2_detectron_extract_tpu.models.matcher import (match_anchors_to_gt,
                                                          subsample_labels)

@@ -13,7 +13,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from moseq2_detectron_extract_tpu.models.boxes import pairwise_iou
+from moseq2_detectron_extract_tpu.ops.boxes import pairwise_iou
 
 
 @functools.partial(jax.jit, static_argnames=('max_iters',))

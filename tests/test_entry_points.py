@@ -45,6 +45,22 @@ def test_module_imports(module):
     importlib.import_module(module)
 
 
+@pytest.mark.parametrize('order', [
+    ('moseq2_detectron_extract_tpu.ops', 'moseq2_detectron_extract_tpu.cli'),
+    ('moseq2_detectron_extract_tpu.models', 'moseq2_detectron_extract_tpu.ops'),
+    ('moseq2_detectron_extract_tpu.proc.util', 'moseq2_detectron_extract_tpu.models'),
+])
+def test_no_circular_imports_fresh_interpreter(order):
+    '''Import-order independence, in a FRESH interpreter (regression test for
+    the round-1 ops<->models cycle: ops imported first broke cli import).'''
+    import subprocess
+    import sys
+    code = '; '.join(f'import {m}' for m in order)
+    proc = subprocess.run([sys.executable, '-c', code], capture_output=True,
+                          text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr
+
+
 def test_generate_extract_config(tmp_path):
     out = tmp_path / 'cfg.yaml'
     result = CliRunner().invoke(cli, ['generate-extract-config', '-o', str(out)])

@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 
 from moseq2_detectron_extract_tpu.models.anchors import generate_anchors
-from moseq2_detectron_extract_tpu.models.boxes import (clip_boxes, decode_boxes,
+from moseq2_detectron_extract_tpu.ops.boxes import (clip_boxes, decode_boxes,
                                                        encode_boxes, pairwise_iou)
 from moseq2_detectron_extract_tpu.models.heads import (heatmaps_to_keypoints,
                                                        keypoint_targets, paste_masks)
