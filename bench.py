@@ -89,9 +89,63 @@ def run_extract(session_path, predictor, output_dir, bground):
     config = build_config(output_dir, predictor, session.nframes)
     status = extract_session(session, config)
     from moseq2_detectron_extract_tpu.io.util import read_yaml
-    if not read_yaml(status).get('complete', False):
+    status_data = read_yaml(status)
+    if not status_data.get('complete', False):
         raise RuntimeError('benchmark extraction did not complete')
-    return session.nframes
+    return session.nframes, status_data.get('stage_stats', {}), session
+
+
+def measure_device_infer_fps(predictor, frame_shape, nframes=1000, reps=3):
+    '''Model-compute-only throughput: device-resident input, device-resident
+    output, timed after a compile warmup. This is the number that transfers
+    over the host<->device tunnel cannot touch.'''
+    import jax
+    import jax.numpy as jnp
+    h, w = frame_shape
+    frames = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (nframes, h, w), dtype=np.uint8))
+    jax.block_until_ready(frames)
+    out = predictor(frames, return_device=True)   # warmup / compile
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = predictor(frames, return_device=True)
+        jax.block_until_ready(out)
+    return reps * nframes / (time.perf_counter() - t0)
+
+
+def measure_transfer_ceilings(frame_shape, nframes=1000, reps=3):
+    '''Tunnel bandwidth ceilings expressed as fps for this workload's actual
+    per-frame transfer volumes: H2D = prepped uint8 ROI chunk; D2H = 80x80
+    uint8 crops + bit-packed masks + small per-frame vectors (~7 KB).'''
+    import jax
+    import jax.numpy as jnp
+    h, w = frame_shape
+    chunk = np.zeros((nframes, h, w), dtype=np.uint8)
+    jax.block_until_ready(jnp.asarray(chunk))  # any one-time setup cost
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        jax.block_until_ready(jnp.asarray(chunk))
+    h2d_s = (time.perf_counter() - t0) / reps
+
+    # fresh device arrays per rep: jax caches an array's host copy, so timing
+    # repeated np.asarray of the same array measures nothing
+    crops = jnp.zeros((nframes, 80, 80), jnp.uint8)
+    packed = jnp.zeros((nframes, 80, 10), jnp.uint8)
+    vecs = jnp.zeros((nframes, 64), jnp.float32)
+    sets = [jax.block_until_ready((crops + i, packed + i, vecs + i))
+            for i in range(reps + 1)]
+    np.asarray(sets[0][0]), np.asarray(sets[0][1]), np.asarray(sets[0][2])
+    t0 = time.perf_counter()
+    for c, p, v in sets[1:]:
+        np.asarray(c), np.asarray(p), np.asarray(v)
+    d2h_s = (time.perf_counter() - t0) / reps
+    return {
+        'h2d_fps': nframes / h2d_s,
+        'h2d_mb_s': chunk.nbytes / 1e6 / h2d_s,
+        'd2h_fps': nframes / d2h_s,
+        'd2h_mb_s': (crops.nbytes + packed.nbytes + vecs.nbytes) / 1e6 / d2h_s,
+    }
 
 
 def main():
@@ -130,15 +184,33 @@ def main():
 
     main_path = write_session(os.path.join(work, 'main'), nframes)
     t0 = time.time()
-    n = run_extract(main_path, predictor, os.path.join(work, 'main_out'), bground)
+    n, stage_stats, session = run_extract(
+        main_path, predictor, os.path.join(work, 'main_out'), bground)
     elapsed = time.time() - t0
     fps = n / elapsed
+
+    # attribution: the e2e number above is tunnel-bound in this sandbox; the
+    # extras below separate model compute from transfer ceilings per stage
+    from moseq2_detectron_extract_tpu.ops.preprocess import bbox_from_roi
+    bbox = bbox_from_roi(session.roi)
+    frame_shape = (bbox[1][0] - bbox[0][0], bbox[1][1] - bbox[0][1])
+    device_fps = measure_device_infer_fps(predictor, frame_shape,
+                                          nframes=predictor.batch_size * 4)
+    ceilings = measure_transfer_ceilings(frame_shape)
 
     print(json.dumps({
         'metric': 'extract_throughput',
         'value': round(fps, 2),
         'unit': 'frames/sec/chip',
         'vs_baseline': round(fps / BASELINE_FPS, 4),
+        'device_infer_fps': round(device_fps, 2),
+        'h2d_ceiling_fps': round(ceilings['h2d_fps'], 2),
+        'h2d_mb_s': round(ceilings['h2d_mb_s'], 2),
+        'd2h_ceiling_fps': round(ceilings['d2h_fps'], 2),
+        'd2h_mb_s': round(ceilings['d2h_mb_s'], 2),
+        'stage_busy_s': {k: v['busy_s'] for k, v in stage_stats.items()},
+        'elapsed_s': round(elapsed, 2),
+        'nframes': n,
     }))
 
 

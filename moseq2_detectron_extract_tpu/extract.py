@@ -94,6 +94,16 @@ def extract_session(session: Session, config: dict) -> str:
             time.sleep(0.1)
         pipeline.shutdown()
 
+        # per-stage attribution: busy seconds + items, published in the status
+        # yaml for benchmarking/judging (wall-clock = max over stages when
+        # fully overlapped; gaps show up as producer/consumer starvation)
+        status_dict['stage_stats'] = {
+            step.step_name.strip(): {
+                'busy_s': round(step.busy_seconds, 3),
+                'chunks': step.items_processed,
+            } for step in pipeline.steps
+        }
+
     except WorkerError as work_error:
         logging.error('')
         logging.error('One or more workers encountered an error during extraction:\n')

@@ -19,7 +19,7 @@ class FPN(nn.Module):
 
     def _maybe_norm(self, x, name):
         if self.norm == 'gn':
-            return nn.GroupNorm(num_groups=32, name=name)(x)
+            return nn.GroupNorm(num_groups=32, epsilon=1e-5, name=name)(x)
         return x
 
     @nn.compact

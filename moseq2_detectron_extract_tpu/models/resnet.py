@@ -35,7 +35,7 @@ def _norm_layer(norm: str):
     if norm == 'frozen_bn':
         return FrozenBatchNorm()
     if norm == 'gn':
-        return nn.GroupNorm(num_groups=32)
+        return nn.GroupNorm(num_groups=32, epsilon=1e-5)  # torch GN eps
     raise ValueError(f'unknown norm {norm}')
 
 

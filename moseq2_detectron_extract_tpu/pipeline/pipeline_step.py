@@ -71,10 +71,17 @@ class PipelineStep(threading.Thread):
         try:
             self.initialize()
             if self.input_queue is None:
-                # producer step: generate() drives the stream
-                for item in self.generate():
-                    if self.shutdown_event.is_set():
+                # producer step: generate() drives the stream; time spent
+                # between yields (IO + host prep) is the stage's busy time
+                gen = self.generate()
+                while not self.shutdown_event.is_set():
+                    t0 = time.perf_counter()
+                    try:
+                        item = next(gen)
+                    except StopIteration:
                         break
+                    self.busy_seconds += time.perf_counter() - t0
+                    self.items_processed += 1
                     self._forward(item)
             else:
                 while not self.shutdown_event.is_set():

@@ -15,7 +15,7 @@ import numpy as np
 from moseq2_detectron_extract_tpu.io.result import (create_extract_h5,
                                                     write_extracted_chunk_to_h5)
 from moseq2_detectron_extract_tpu.io.session import Session, Stream
-from moseq2_detectron_extract_tpu.io.video import PreviewVideoWriter, apply_colormap_jet
+from moseq2_detectron_extract_tpu.io.video import PreviewVideoWriter
 from moseq2_detectron_extract_tpu.ops.instances import (gather_selected,
                                                         nms_and_centers,
                                                         packbits_device,
@@ -141,16 +141,28 @@ class ProcessFeaturesStep(PipelineStep):
         from moseq2_detectron_extract_tpu.models.instance_logger import InstanceLogger
         self.instance_log = InstanceLogger(
             os.path.join(config['output_dir'], 'instance_log.tsv'))
+        self.sub_times = {'select': 0.0, 'features': 0.0, 'crop': 0.0}
 
     def process(self, data):
+        import time as _time
+        t0 = _time.perf_counter()
         data = self._select_instances(data)
+        t1 = _time.perf_counter()
         data = self._compute_features(data)
+        t2 = _time.perf_counter()
         data = self._crop_and_rotate(data)
+        t3 = _time.perf_counter()
+        self.sub_times['select'] += t1 - t0
+        self.sub_times['features'] += t2 - t1
+        self.sub_times['crop'] += t3 - t2
         self.update_progress(len(data['frame_idxs']))
         return data
 
     def finalize(self):
         self.instance_log.close()
+        logging.info('[Process Features] sub-stage busy: %s',
+                     {k: round(v, 2) for k, v in self.sub_times.items()},
+                     extra={'nostream': True})
 
     def _select_instances(self, data):
         '''Device NMS + centers; the sequential SORT-style tracker runs on host
@@ -166,6 +178,10 @@ class ProcessFeaturesStep(PipelineStep):
         keep = np.asarray(keep_dev)            # (N, D) - tiny transfers
         centers = np.asarray(centers_dev)      # (N, D, 2)
         scores = np.asarray(inference['scores'])
+        # kept boxes for the live preview's arena overlays (N, D, 4; tiny)
+        boxes = np.asarray(inference['boxes']).astype('float64')
+        boxes[~keep] = np.nan
+        data['kept_boxes'] = boxes
         n, d = keep.shape
         multi = keep.sum(axis=1) > 1
         iou = np.asarray(iou_dev) if multi.any() else None
@@ -247,6 +263,12 @@ class ProcessFeaturesStep(PipelineStep):
                 jnp.dtype(self.config['frame_dtype'])))
         packed = packbits_device(cropped_masks > 0.5)
         data['mask_frames'] = unpackbits_host(packed, self.crop[1]).astype('uint8')
+        if self.config.get('preview_arena_masks', True):
+            # full-res selected mask for the preview's arena overlay; travels
+            # bit-packed (~22 KB/frame)
+            arena_packed = packbits_device(jnp.asarray(data['features']['masks']) > 0)
+            data['arena_masks'] = unpackbits_host(
+                np.asarray(arena_packed), raw_frames.shape[2])
         return data
 
 
@@ -302,16 +324,43 @@ class ResultWriterStep(PipelineStep):
 
 
 class PreviewVideoWriterStep(PipelineStep):
-    '''Render the 3-panel preview video (arena / cropped frame / mask)
-    (m2de/pipeline/preview_video_writer_step.py).'''
+    '''Render the reference's 3-view live preview: cleaned crop + rotated
+    keypoints stacked left, arena with instance overlays (ROI contour, mask
+    fill, boxes, keypoint skeleton) right
+    (m2de/pipeline/preview_video_writer_step.py:93-114, m2de/viz.py:524-620).'''
 
     def initialize(self):
+        from moseq2_detectron_extract_tpu.viz import (ArenaView,
+                                                      CleanedFramesView,
+                                                      RotatedKeypointsView,
+                                                      stack_videos)
         config = self.config
         out_path = os.path.join(config['output_dir'],
                                 f"results_{config['bg_roi_index']:02d}.mp4")
         self.writer = PreviewVideoWriter(out_path, fps=config.get('fps', 30),
                                          vmin=config['min_height'],
                                          vmax=config['max_height'])
+        vmin, vmax = config['min_height'], config['max_height']
+        self.arena_view = ArenaView(config.get('roi'), vmin=vmin, vmax=vmax,
+                                    scale=config.get('preview_arena_scale', 1.0))
+        self.rot_kpt_view = RotatedKeypointsView(
+            scale=config.get('preview_crop_scale', 1.5))
+        self.clean_view = CleanedFramesView(
+            vmin=vmin, vmax=vmax, scale=config.get('preview_crop_scale', 1.5))
+        self.stack_videos = stack_videos
+        from moseq2_detectron_extract_tpu.proc.keypoints import \
+            default_keypoint_names
+        self.kp_names = default_keypoint_names
+
+    def _rotated_keypoints(self, kp_dict, n):
+        cols = []
+        for name in self.kp_names:
+            x = kp_dict.get(f'rotated/{name}_x_px')
+            y = kp_dict.get(f'rotated/{name}_y_px')
+            if x is None or y is None:
+                return None
+            cols.append(np.stack([x[:n], y[:n]], axis=1))
+        return np.stack(cols, axis=1)  # (N, K, 2)
 
     def process(self, data):
         offset = data['offset']
@@ -321,24 +370,27 @@ class PreviewVideoWriterStep(PipelineStep):
         masks = np.asarray(data['mask_frames'])[offset:n_true]
         frame_idxs = np.asarray(data['frame_idxs'])[offset:]
 
-        vmin = self.config['min_height']
-        vmax = self.config['max_height']
-        arena = apply_colormap_jet(chunk, vmin, vmax)
-        crop_rgb = apply_colormap_jet(cropped, vmin, vmax)
-        mask_rgb = np.repeat((masks * 255).astype('uint8')[..., None], 3, axis=-1)
+        arena_masks = data.get('arena_masks')
+        if arena_masks is not None:
+            arena_masks = arena_masks[offset:n_true]
+        ref_kpts = np.asarray(data['features']['keypoints'])[offset:n_true]
+        boxes = data.get('kept_boxes')
+        if boxes is not None:
+            boxes = boxes[offset:n_true]
+        rot_kpts = self._rotated_keypoints(data['keypoints'], n_true)
+        if rot_kpts is not None:
+            rot_kpts = rot_kpts[offset:]
 
-        # composite: arena left, cropped + mask stacked right (even dims so
-        # the writer never pads/copies the whole chunk)
-        n, ah, aw = chunk.shape
-        ch, cw = cropped.shape[1:3]
-        right_h = ch * 2
-        height = (max(ah, right_h) + 1) // 2 * 2
-        width = (aw + cw + 1) // 2 * 2
-        canvas = np.zeros((n, height, width, 3), dtype='uint8')
-        canvas[:, :ah, :aw] = arena
-        canvas[:, :ch, aw:aw + cw] = crop_rgb
-        canvas[:, ch:ch * 2, aw:aw + cw] = mask_rgb
-        self.writer.write_frames(frame_idxs, canvas)
+        arena = self.arena_view.render(chunk, masks=arena_masks,
+                                       keypoints=ref_kpts, boxes=boxes)
+        clean = self.clean_view.render(cropped, masks)
+        if rot_kpts is not None:
+            rot = self.rot_kpt_view.render(masks, rot_kpts)
+            left = self.stack_videos([clean, rot], orientation='vertical')
+        else:
+            left = clean
+        composite = self.stack_videos([left, arena], orientation='horizontal')
+        self.writer.write_frames(frame_idxs, composite)
         return None
 
     def finalize(self):

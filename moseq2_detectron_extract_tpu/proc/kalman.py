@@ -224,13 +224,21 @@ def kalman_smooth(params: KalmanParams, observations, missing,
     s_means[-1] = filt['means'][-1]
     s_covs[-1] = filt['covs'][-1]
 
-    for t in range(T - 2, -1, -1):
-        f_mean, f_cov = filt['means'][t], filt['covs'][t]
-        next_pred_mean, next_pred_cov = filt['pred_means'][t + 1], filt['pred_covs'][t + 1]
-        J = np.linalg.solve(next_pred_cov, A @ f_cov).T  # f_cov A' P^{-1}
-        s_means[t] = f_mean + J @ (s_means[t + 1] - next_pred_mean)
-        s_covs[t] = _symmetrize(f_cov + J @ (s_covs[t + 1] - next_pred_cov) @ J.T)
-        lag_ones[t] = s_covs[t + 1] @ J.T  # V_{t+1, t | T}
+    # the smoother gains depend only on filtered quantities, so they batch
+    # into ONE vectorized solve: J_t = f_cov_t A' P_{t+1|t}^{-1}. Only the
+    # cheap mean/cov recursions stay sequential. (EM runs this 10x per
+    # session; the per-step solve loop dominated session startup.)
+    if T >= 2:
+        J_all = np.linalg.solve(
+            filt['pred_covs'][1:],
+            np.swapaxes(filt['covs'][:-1] @ A.T, 1, 2))
+        J_all = np.ascontiguousarray(np.swapaxes(J_all, 1, 2))
+        for t in range(T - 2, -1, -1):
+            J = J_all[t]
+            s_means[t] = filt['means'][t] + J @ (s_means[t + 1] - filt['pred_means'][t + 1])
+            s_covs[t] = _symmetrize(
+                filt['covs'][t] + J @ (s_covs[t + 1] - filt['pred_covs'][t + 1]) @ J.T)
+            lag_ones[t] = s_covs[t + 1] @ J.T  # V_{t+1, t | T}
 
     return {'means': s_means, 'covs': s_covs, 'lag_one_covs': lag_ones,
             'filtered': filt}
@@ -242,22 +250,26 @@ def _em_step(params: KalmanParams, observations, missing):
     A, C = params.transition, params.observation
     T = observations.shape[0]
 
-    # sufficient statistics
-    Ext_xt = V + np.einsum('ti,tj->tij', mu, mu)                # E[x_t x_t']
-    Ext1_xt = lag + np.einsum('ti,tj->tij', mu[1:], mu[:-1])    # E[x_{t+1} x_t']
+    # sufficient statistics, summed over time FIRST so everything is O(T S^2)
+    # BLAS instead of (T, S, S) einsum temporaries:
+    #   sum_t E[x_t x_t']     = sum_t V_t + M' M
+    #   sum_t E[x_{t+1} x_t'] = sum_t lag_t + M[1:]' M[:-1]
+    sum_Ext_head = V[:-1].sum(axis=0) + mu[:-1].T @ mu[:-1]
+    sum_Ext_tail = V[1:].sum(axis=0) + mu[1:].T @ mu[1:]
+    sum_Ext1 = lag.sum(axis=0) + mu[1:].T @ mu[:-1]
 
     # transition covariance: Q = mean(C_t - B_t A' - A B_t' + A D_t A')
-    sum_B_At = np.einsum('tij,kj->ik', Ext1_xt, A)  # sum_t B_t A'
-    Q = (np.sum(Ext_xt[1:], axis=0) - sum_B_At - sum_B_At.T
-         + A @ np.sum(Ext_xt[:-1], axis=0) @ A.T) / (T - 1)
+    sum_B_At = sum_Ext1 @ A.T
+    Q = (sum_Ext_tail - sum_B_At - sum_B_At.T
+         + A @ sum_Ext_head @ A.T) / (T - 1)
     Q = _clip_psd(Q)
 
     # observation covariance over observed timesteps only
     obs_w = (~np.asarray(missing, bool)).astype(np.float64)
     resid = (np.asarray(observations, np.float64) - mu @ C.T) * obs_w[:, None]
     R_resid = resid.T @ resid
-    CVCt = np.einsum('ij,tjk,lk->til', C, V, C)
-    R_state = np.einsum('t,til->il', obs_w, CVCt)
+    V_w = np.tensordot(obs_w, V, axes=1)      # sum_t w_t V_t, (S, S)
+    R_state = C @ V_w @ C.T
     nobs = max(obs_w.sum(), 1.0)
     R = _clip_psd((R_resid + R_state) / nobs)
 

@@ -129,6 +129,135 @@ def draw_instances(image: np.ndarray, masks: np.ndarray, keypoints: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# composited views (m2de/viz.py:524-620)
+# ---------------------------------------------------------------------------
+
+def _gray_chunk_to_rgb(frames: np.ndarray) -> np.ndarray:
+    '''(N, H, W) uint8 -> (N, H, W, 3) RGB in one SIMD pass.'''
+    frames = np.ascontiguousarray(frames)
+    n, h, w = frames.shape
+    if HAS_CV2:
+        return cv2.cvtColor(frames.reshape(n * h, w), cv2.COLOR_GRAY2RGB) \
+            .reshape(n, h, w, 3)
+    return np.repeat(frames[..., None], 3, axis=-1)
+
+
+def _blend_mask(image: np.ndarray, mask: np.ndarray, color=(0, 0, 255),
+                alpha: float = 0.3) -> None:
+    '''Alpha-fill ``mask`` onto ``image`` in place (m2de/viz.py:draw_mask),
+    touching only the mask's bounding box for speed.'''
+    ys, xs = np.nonzero(mask)
+    if not len(ys):
+        return
+    y0, y1 = ys.min(), ys.max() + 1
+    x0, x1 = xs.min(), xs.max() + 1
+    region = image[y0:y1, x0:x1]
+    sub = mask[y0:y1, x0:x1] > 0
+    region[sub] = (region[sub] * (1 - alpha)
+                   + np.asarray(color, 'float32') * alpha).astype('uint8')
+
+
+class ArenaView:
+    '''Arena depth image + ROI contour + instance overlays (mask fill, box,
+    keypoints/skeleton) — m2de/viz.py:533-573 (reference scale default 2.0;
+    ours defaults to 1.0: upscaling is cosmetic and the encode cost is the
+    preview bottleneck on weak hosts).'''
+
+    def __init__(self, roi: Optional[np.ndarray], vmin: float = 0,
+                 vmax: float = 100, scale: float = 1.0):
+        self.vmin = vmin
+        self.vmax = vmax
+        self.scale = scale
+        self.contours = None
+        if roi is not None and HAS_CV2:
+            ys, xs = np.nonzero(np.asarray(roi) > 0)
+            cropped = np.asarray(roi)[ys.min():ys.max() + 1, xs.min():xs.max() + 1] \
+                if len(ys) else np.asarray(roi)
+            self.contours, _ = cv2.findContours(
+                (cropped > 0).astype('uint8'), cv2.RETR_EXTERNAL,
+                cv2.CHAIN_APPROX_SIMPLE)
+
+    def render(self, frames: np.ndarray, masks: Optional[np.ndarray] = None,
+               keypoints: Optional[np.ndarray] = None,
+               boxes: Optional[np.ndarray] = None) -> np.ndarray:
+        '''frames (N, H, W) uint8 already intensity-scaled; masks (N, H, W)
+        cropped-or-full instance masks; keypoints (N, K, 3) arena px;
+        boxes (N, B, 4) arena px (NaN rows skipped).'''
+        video = _gray_chunk_to_rgb(frames)
+        if self.scale != 1.0 and HAS_CV2:
+            n, h, w = frames.shape
+            sh, sw = int(h * self.scale), int(w * self.scale)
+            video = np.stack([cv2.resize(video[i], (sw, sh)) for i in range(n)])
+        s = self.scale
+        for i in range(video.shape[0]):
+            im = video[i]
+            if self.contours is not None:
+                cv2.drawContours(im, [np.round(c * s).astype(np.int32)
+                                      for c in self.contours], -1, (0, 255, 0), 1,
+                                 cv2.LINE_AA)
+            if masks is not None:
+                _blend_mask(im, masks[i])
+            if boxes is not None and HAS_CV2:
+                for b, box in enumerate(np.atleast_2d(boxes[i]) * s):
+                    if np.any(np.isnan(box)):
+                        continue
+                    cv2.rectangle(im, (int(box[0]), int(box[1])),
+                                  (int(box[2]), int(box[3])), (0, 255, 0))
+                    cv2.putText(im, str(b), (int(box[0]), int(box[1])),
+                                cv2.FONT_HERSHEY_SIMPLEX, 0.4, (255, 255, 255), 1,
+                                cv2.LINE_AA)
+            if keypoints is not None:
+                draw_keypoints(im, np.asarray(keypoints[i]) * [s, s, 1])
+        return video
+
+
+class RotatedKeypointsView:
+    '''Cropped/rotated mask + rotated keypoints about the crop center
+    (m2de/viz.py:576-610).'''
+
+    def __init__(self, scale: float = 1.5):
+        self.scale = scale
+
+    def render(self, masks: np.ndarray, rot_keypoints: np.ndarray) -> np.ndarray:
+        '''masks (N, h, w) uint8/bool crops; rot_keypoints (N, K, 2+) px
+        relative to the crop center.'''
+        n, h, w = masks.shape
+        sh, sw = int(h * self.scale), int(w * self.scale)
+        video = np.zeros((n, sh, sw, 3), dtype='uint8')
+        origin = np.array([sw // 2, sh // 2], 'float64')
+        for i in range(n):
+            if HAS_CV2 and self.scale != 1.0:
+                m = cv2.resize(np.asarray(masks[i], 'uint8'), (sw, sh),
+                               interpolation=cv2.INTER_NEAREST)
+            else:
+                m = np.asarray(masks[i], 'uint8')
+            _blend_mask(video[i], m, alpha=0.7)
+            kpts = np.asarray(rot_keypoints[i], 'float64').copy()
+            kpts[:, :2] = kpts[:, :2] * self.scale + origin
+            draw_keypoints(video[i], kpts)
+        return video
+
+
+class CleanedFramesView:
+    '''Jet-colorized masked cleaned crops (m2de/viz.py:612-620).'''
+
+    def __init__(self, vmin: float = 0, vmax: float = 100, scale: float = 1.5):
+        self.vmin = vmin
+        self.vmax = vmax
+        self.scale = scale
+
+    def render(self, clean_frames: np.ndarray, masks: np.ndarray) -> np.ndarray:
+        video = apply_colormap_jet(
+            np.asarray(clean_frames) * (np.asarray(masks) > 0),
+            self.vmin, self.vmax)
+        if self.scale != 1.0 and HAS_CV2:
+            n, h, w = video.shape[:3]
+            sh, sw = int(h * self.scale), int(w * self.scale)
+            video = np.stack([cv2.resize(video[i], (sw, sh)) for i in range(n)])
+        return video
+
+
+# ---------------------------------------------------------------------------
 # raw session preview (m2de/viz.py:350-394, cli.py:220-276)
 # ---------------------------------------------------------------------------
 

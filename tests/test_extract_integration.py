@@ -119,9 +119,33 @@ class TestExtractIntegration:
         assert os.path.exists(os.path.join(out_dir, 'keypoints_00.tsv'))
         assert os.path.exists(os.path.join(out_dir, 'results_00.mp4'))
         assert os.path.exists(os.path.join(out_dir, 'instance_log.tsv'))
+        self._check_preview_overlays(os.path.join(out_dir, 'results_00.mp4'))
         # ROI cache TIFFs
         assert os.path.exists(os.path.join(out_dir, 'bground.tiff'))
         assert os.path.exists(os.path.join(out_dir, 'roi_00.tiff'))
+
+    @staticmethod
+    def _check_preview_overlays(mp4_path):
+        '''The live preview must visibly contain instance overlays (reference
+        m2de/pipeline/preview_video_writer_step.py:93-114): the arena base is
+        grayscale (R=G=B), so drawn overlays (green ROI contour/boxes, red
+        mask fill, colored keypoints/skeleton) appear as chromatic pixels.'''
+        import cv2
+        cap = cv2.VideoCapture(mp4_path)
+        try:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, 10)
+            ok, frame = cap.read()
+            assert ok, 'could not read preview frame'
+            frame = frame.astype('int16')
+            # right panel = arena view (left panels are jet-colorized crops)
+            arena = frame[:, frame.shape[1] - 200:]
+            chroma = np.abs(arena[..., 0] - arena[..., 1]) + \
+                np.abs(arena[..., 1] - arena[..., 2])
+            n_colored = int((chroma > 40).sum())
+            assert n_colored > 100, \
+                f'arena panel has no drawn overlays ({n_colored} colored px)'
+        finally:
+            cap.release()
 
     def test_skip_already_extracted(self, session_dir, tmp_path):
         session, status, out_dir = self._run(session_dir, tmp_path)
