@@ -127,7 +127,11 @@ def extract(model, input_file, checkpoint, batch_size, instance_threshold,
 @click.option('--config', 'config_yaml', default=None, type=click.Path(exists=True), help='Model config yaml to merge over base config')
 @click.option('--max-iter', default=None, type=OptionalParamType(click.INT), help='Override number of training iterations')
 @click.option('--replace-paths', default=None, multiple=True, help='search:replace pairs for fixing annotation image paths')
-def train(annot_files, model_dir, resume, config_yaml, max_iter, replace_paths):
+@click.option('--init-weights', default=None, type=click.Path(exists=True),
+              help='Detectron2 checkpoint (.pkl/.pth) to initialize from '
+                   '(reference default: COCO keypoint_rcnn_R_50_FPN_3x zoo weights)')
+def train(annot_files, model_dir, resume, config_yaml, max_iter, replace_paths,
+          init_weights):
     '''Train the Mask+Keypoint R-CNN on Label Studio annotations.'''
     from moseq2_detectron_extract_tpu.models.trainer import Trainer
     from moseq2_detectron_extract_tpu.io.annot import load_annotations_helper
@@ -147,7 +151,50 @@ def train(annot_files, model_dir, resume, config_yaml, max_iter, replace_paths):
     cfg.to_yaml(os.path.join(model_dir, 'config.yaml'))
     trainer = Trainer(cfg, model_dir)
     trainer.resume_or_load(resume=resume)
+    if init_weights and not resume:
+        from moseq2_detectron_extract_tpu.models.convert import convert_checkpoint
+        params, _ = convert_checkpoint(init_weights, trainer.state.params)
+        trainer.state = trainer.state._replace(params=params)
     trainer.train()
+
+
+@cli.command(name='convert-weights',
+             short_help='Convert a Detectron2 checkpoint to a flax model dir')
+@click.argument('src', type=click.Path(exists=True))
+@click.option('--model-dir', required=True, type=click.Path(), help='Output model directory')
+@click.option('--config', 'config_yaml', default=None, type=click.Path(exists=True), help='Model config yaml to use (defaults to base config)')
+def convert_weights(src, model_dir, config_yaml):
+    '''Convert a Detectron2 ``.pkl``/``.pth`` checkpoint (e.g. the zoo
+    ``keypoint_rcnn_R_50_FPN_3x`` weights the reference trains from,
+    m2de/model/config.py:30-35) into this framework's checkpoint layout.
+
+    Shape-mismatched heads (e.g. 17 COCO keypoints vs our 8) keep their fresh
+    initialization and are reported.
+    '''
+    import jax
+    import jax.numpy as jnp
+    from moseq2_detectron_extract_tpu.models.config import ModelConfig, get_base_config
+    from moseq2_detectron_extract_tpu.models.convert import convert_checkpoint
+    from moseq2_detectron_extract_tpu.models.checkpoint import save_checkpoint
+    from moseq2_detectron_extract_tpu.models.rcnn import MaskKeypointRCNN
+
+    setup_logging()
+    cfg = ModelConfig.from_yaml(config_yaml) if config_yaml else get_base_config()
+    model = MaskKeypointRCNN(cfg)
+    # param shapes are spatial-size independent; a 64px image on the CPU
+    # backend initializes the template in seconds instead of minutes
+    images = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    with jax.default_device(jax.devices('cpu')[0]):
+        template = model.init(jax.random.PRNGKey(0), images,
+                              method=MaskKeypointRCNN.init_params)
+    params, report = convert_checkpoint(src, template)
+    ensure_dir(model_dir)
+    cfg.to_yaml(os.path.join(model_dir, 'config.yaml'))
+    path = save_checkpoint(model_dir, 0, {'params': params})
+    click.echo(f'loaded {len(report["loaded"])} tensors, '
+               f'{len(report["shape_mismatch"])} kept initialization '
+               f'(shape mismatch), {len(report["unused"])} source keys unused')
+    click.echo(f'wrote {path}')
 
 
 @cli.command(name='evaluate', short_help='Evaluate a model checkpoint')

@@ -86,6 +86,28 @@ class MaskKeypointRCNN(nn.Module):
             ([l for l in logits], [d for d in deltas], image_sizes))
         return boxes, scores, valid, (logits, deltas, anchors)
 
+    # ------------------------------------------------------------------- init
+    def init_params(self, images) -> None:
+        '''Cheap forward that touches every submodule once, so
+        ``model.init(rng, images, method=MaskKeypointRCNN.init_params)``
+        yields the exact same parameter tree as the inference path without
+        compiling proposals/NMS/ROIAlign (seconds instead of minutes on a
+        tunneled device). ``images`` may be any (B, H, W, 3) with H, W
+        divisible by 64 — param shapes are spatial-size independent.'''
+        cfg = self.cfg
+        fpn_feats = self._features(images)
+        self.rpn_head(fpn_feats)
+        c = fpn_feats[0].shape[-1]
+        dt = fpn_feats[0].dtype
+        r = cfg.box_pooler_resolution
+        self.box_head(jnp.zeros((1, r, r, c), dt))
+        if cfg.mask_on:
+            m = cfg.mask_pooler_resolution
+            self.mask_head(jnp.zeros((1, m, m, c), dt))
+        if cfg.keypoint_on:
+            k = cfg.keypoint_pooler_resolution
+            self.keypoint_head(jnp.zeros((1, k, k, c), dt))
+
     # -------------------------------------------------------------- inference
     def inference(self, images, image_sizes=None) -> Dict[str, jnp.ndarray]:
         '''Full detection forward. images (B, S, S, 3) normalized float;

@@ -231,3 +231,29 @@ class TestInstanceSelection:
                                        jnp.asarray([True, False]))
         assert np.asarray(sel_m)[0, 1, 1] == 1
         assert np.isnan(np.asarray(sel_k)[1]).all()
+
+
+class TestInitParams:
+    def test_init_params_tree_matches_inference(self):
+        '''The cheap ``init_params`` path (used by convert-weights and tooling
+        that only needs a parameter template) must yield the exact same
+        parameter tree as initializing through the full inference graph.'''
+        import jax.tree_util as jtu
+        from moseq2_detectron_extract_tpu.models.config import ModelConfig
+        from moseq2_detectron_extract_tpu.models.rcnn import MaskKeypointRCNN
+        cfg = ModelConfig(
+            image_size=64, resnet_stage_blocks=(1, 1, 1, 1), resnet_width=16,
+            fpn_channels=32, box_fc_dim=32, mask_conv_dims=(16,),
+            keypoint_conv_dims=(16,), rpn_pre_nms_topk_test=16,
+            rpn_post_nms_topk_test=8, test_detections_per_image=2)
+        model = MaskKeypointRCNN(cfg)
+        images = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+        s_cheap = jax.eval_shape(lambda: model.init(
+            jax.random.PRNGKey(0), images, method=MaskKeypointRCNN.init_params))
+        s_full = jax.eval_shape(lambda: model.init(
+            jax.random.PRNGKey(0), images, method=MaskKeypointRCNN.inference))
+        t1 = {jtu.keystr(k): (v.shape, v.dtype)
+              for k, v in jtu.tree_leaves_with_path(s_cheap)}
+        t2 = {jtu.keystr(k): (v.shape, v.dtype)
+              for k, v in jtu.tree_leaves_with_path(s_full)}
+        assert t1 == t2
