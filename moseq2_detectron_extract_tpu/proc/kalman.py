@@ -189,12 +189,49 @@ def kalman_filter(params: KalmanParams, observations, missing,
             'pred_means': pred_means, 'pred_covs': pred_covs}
 
 
+_SCAN_OK: Optional[bool] = None
+
+
+def _scan_available() -> bool:
+    '''One-time probe: the jitted f64 scan smoother needs host LAPACK FFI
+    handlers that some plugin jax builds (e.g. the tunneled-TPU sandbox) do
+    not register for the CPU backend.'''
+    global _SCAN_OK
+    if _SCAN_OK is None:
+        try:
+            p = KalmanParams(np.eye(2), np.eye(2), np.eye(2), np.eye(2),
+                             np.zeros(2), np.eye(2))
+            kalman_smooth_scan(p, np.zeros((3, 2)), np.zeros(3, bool))
+            _SCAN_OK = True
+        except Exception:   # pragma: no cover - environment dependent
+            _SCAN_OK = False
+    return _SCAN_OK
+
+
 def kalman_smooth(params: KalmanParams, observations, missing,
-                  use_native: bool = False):
-    # note: numpy/BLAS wins the dense backward pass at these state sizes;
-    # the native core is kept for BLAS-less deployments (validated in tests)
+                  use_native: bool = False, backend: Optional[str] = None):
     '''RTS smoother. Returns smoothed means/covs and lag-one covariances
-    (V_{t+1, t | T} for t = 0..T-2) for EM.'''
+    (V_{t+1, t | T} for t = 0..T-2) for EM.
+
+    ``backend`` is one of ``'scan'`` (jitted lax.scan, f64 CPU),
+    ``'native'`` (C++ core), ``'numpy'``, or None = fastest available.
+    Measured at production dims (S=60, O=20) on this image's single vCPU:
+    T=1000 scan 538 ms / numpy 714 ms / native 866 ms; T=3000 scan 1936 ms
+    / numpy 4308 ms / native 5606 ms (KALMAN_BENCH.md) — auto prefers scan,
+    then native, then numpy. ``use_native=True`` forces the C++ core
+    (back-compat).'''
+    if backend is None:
+        if use_native:
+            backend = 'native'
+        elif _scan_available():
+            backend = 'scan'
+        elif _native_lib() is not None:
+            backend = 'native'
+        else:
+            backend = 'numpy'
+    if backend == 'scan':
+        return kalman_smooth_scan(params, observations, missing)
+    use_native = backend == 'native'
     filt = kalman_filter(params, observations, missing, use_native=use_native)
     A = params.transition
     T = filt['means'].shape[0]
@@ -242,6 +279,95 @@ def kalman_smooth(params: KalmanParams, observations, missing,
 
     return {'means': s_means, 'covs': s_covs, 'lag_one_covs': lag_ones,
             'filtered': filt}
+
+
+def _scan_smoother():
+    '''Build (once) the jitted lax.scan RTS smoother. f64 via the scoped
+    ``enable_x64`` context on the CPU backend (TPUs have no f64; a square-root
+    f32 form would be needed there, and the sequential tiny-matrix recurrence
+    could not use the MXU anyway — see KALMAN_BENCH.md for measurements).'''
+    import jax
+    import jax.numpy as jnp
+
+    def smooth(A, C, Q, R, mu0, S0, obs, miss):
+        def update(pred_mean, pred_cov, y, m):
+            S = C @ pred_cov @ C.T + R
+            K = jnp.linalg.solve(S, C @ pred_cov).T
+            upd_mean = pred_mean + K @ (y - C @ pred_mean)
+            upd_cov = pred_cov - K @ C @ pred_cov
+            upd_cov = (upd_cov + upd_cov.T) / 2
+            return (jnp.where(m, pred_mean, upd_mean),
+                    jnp.where(m, pred_cov, upd_cov))
+
+        # t = 0: measurement update of the prior (pykalman semantics)
+        m0, c0 = update(mu0, S0, obs[0], miss[0])
+
+        def fstep(carry, inp):
+            mean, cov = carry
+            y, m = inp
+            pred_mean = A @ mean
+            pred_cov = A @ cov @ A.T + Q
+            pred_cov = (pred_cov + pred_cov.T) / 2
+            mean, cov = update(pred_mean, pred_cov, y, m)
+            return (mean, cov), (mean, cov, pred_mean, pred_cov)
+
+        _, (fm, fc, pm, pc) = jax.lax.scan(fstep, (m0, c0), (obs[1:], miss[1:]))
+        f_means = jnp.concatenate([m0[None], fm])
+        f_covs = jnp.concatenate([c0[None], fc])
+        p_means = jnp.concatenate([mu0[None], pm])
+        p_covs = jnp.concatenate([S0[None], pc])
+
+        # all smoother gains batch into one solve (as in the numpy path)
+        J = jnp.linalg.solve(p_covs[1:], jnp.swapaxes(f_covs[:-1] @ A.T, 1, 2))
+        J = jnp.swapaxes(J, 1, 2)
+
+        def bstep(carry, inp):
+            next_mean, next_cov = carry
+            fmt, fct, pm_next, pc_next, Jt = inp
+            sm = fmt + Jt @ (next_mean - pm_next)
+            sc = fct + Jt @ (next_cov - pc_next) @ Jt.T
+            sc = (sc + sc.T) / 2
+            lag = next_cov @ Jt.T        # V_{t+1, t | T}
+            return (sm, sc), (sm, sc, lag)
+
+        _, (sm, sc, lag) = jax.lax.scan(
+            bstep, (f_means[-1], f_covs[-1]),
+            (f_means[:-1], f_covs[:-1], p_means[1:], p_covs[1:], J),
+            reverse=True)
+        s_means = jnp.concatenate([sm, f_means[-1:]])
+        s_covs = jnp.concatenate([sc, f_covs[-1:]])
+        return (s_means, s_covs, lag,
+                (f_means, f_covs, p_means, p_covs))
+
+    return jax.jit(smooth)
+
+
+_SCAN_SMOOTHER = None
+
+
+def kalman_smooth_scan(params: KalmanParams, observations, missing):
+    '''RTS smoother as one jitted ``lax.scan`` program on the CPU backend
+    (f64). Same contract as :func:`kalman_smooth`. Kept as a selectable
+    backend: the recurrence is inherently sequential over tiny (≤54-dim)
+    matrices, so it belongs on host either way — see KALMAN_BENCH.md for the
+    numpy / C++ / scan comparison that picked the default.'''
+    global _SCAN_SMOOTHER
+    import jax
+    cpu = jax.devices('cpu')[0]
+    observations = np.asarray(observations, np.float64)
+    missing = np.asarray(missing, bool)
+    with jax.enable_x64(True), jax.default_device(cpu):
+        if _SCAN_SMOOTHER is None:
+            _SCAN_SMOOTHER = _scan_smoother()
+        s_means, s_covs, lag, filt = _SCAN_SMOOTHER(
+            params.transition, params.observation, params.transition_cov,
+            params.observation_cov, params.initial_mean, params.initial_cov,
+            observations, missing)
+        out = jax.device_get(((s_means, s_covs, lag), filt))
+    (s_means, s_covs, lag), (f_means, f_covs, p_means, p_covs) = out
+    return {'means': s_means, 'covs': s_covs, 'lag_one_covs': lag,
+            'filtered': {'means': f_means, 'covs': f_covs,
+                         'pred_means': p_means, 'pred_covs': p_covs}}
 
 
 def _em_step(params: KalmanParams, observations, missing):
@@ -427,8 +553,14 @@ class KalmanTrackerNPoints2D(KalmanTrackerPoint2D):
 class KalmanTracker:
     '''Composable multi-item Kalman tracker (m2de/proc/kalman.py:281-418).
 
-    Holds device-side params + streaming state; smoothing/filtering run as
-    jitted scans per chunk with state carried across chunks.
+    Holds host-side f64 params + streaming state carried across chunks.
+    Per-chunk smoothing dispatches to the fastest available backend
+    (see :func:`kalman_smooth`): a jitted ``lax.scan`` program on the CPU
+    jax backend where its f64 LAPACK calls are registered, else the C++
+    core, else numpy. The recurrence is sequential over ≤60-dim matrices —
+    there is no MXU work in it, and f64 does not exist on TPU, so the TPU
+    chip is deliberately left to the image pipeline (measurements in
+    KALMAN_BENCH.md).
     '''
 
     def __init__(self, items_to_track: Sequence[KalmanTrackerItem]):

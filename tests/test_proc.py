@@ -298,7 +298,34 @@ class TestNativeKalman:
         f_c = K.kalman_filter(params, obs, missing, use_native=True)
         for k in ('means', 'covs', 'pred_means', 'pred_covs'):
             np.testing.assert_allclose(f_np[k], f_c[k], atol=1e-9)
-        s_np = K.kalman_smooth(params, obs, missing, use_native=False)
-        s_c = K.kalman_smooth(params, obs, missing, use_native=True)
+        s_np = K.kalman_smooth(params, obs, missing, backend='numpy')
+        s_c = K.kalman_smooth(params, obs, missing, backend='native')
         for k in ('means', 'covs', 'lag_one_covs'):
             np.testing.assert_allclose(s_np[k], s_c[k], atol=1e-9)
+
+    def test_scan_backend_matches_numpy(self, rng):
+        '''The jitted lax.scan RTS smoother (f64 CPU) must agree with the
+        reference numpy path to fp64 round-off on all outputs, including the
+        lag-one covariances the EM step consumes.'''
+        import pytest as _pytest
+        from moseq2_detectron_extract_tpu.proc import kalman as K
+        if not K._scan_available():
+            _pytest.skip('f64 LAPACK not registered on this jax CPU backend')
+        S, O, T = 12, 4, 200
+        A = np.eye(S) + np.diag(np.ones(S - 1) * 0.1, 1)
+        C = np.zeros((O, S))
+        C[np.arange(O), np.arange(O) * 3] = 1
+        params = K.KalmanParams(A, C, np.eye(S) * 0.01, np.eye(O), np.zeros(S),
+                                np.eye(S))
+        obs = rng.normal(0, 1, (T, O))
+        missing = np.zeros(T, bool)
+        missing[50:60] = True
+        s_np = K.kalman_smooth(params, obs, missing, backend='numpy')
+        s_scan = K.kalman_smooth(params, obs, missing, backend='scan')
+        for k in ('means', 'covs', 'lag_one_covs'):
+            np.testing.assert_allclose(s_np[k], s_scan[k], atol=1e-8,
+                                       err_msg=k)
+        for k in ('means', 'covs', 'pred_means', 'pred_covs'):
+            np.testing.assert_allclose(s_np['filtered'][k],
+                                       s_scan['filtered'][k], atol=1e-8,
+                                       err_msg=f'filtered/{k}')
