@@ -512,15 +512,49 @@ def generate_extract_config(output_file):
 @click.option('--prefix', default=None, help='Command prefix (e.g. environment activation)')
 @click.option('--extension', default='.dat')
 @click.option('--bg-roi-index', default=0, type=int)
+@click.option('--in-process', is_flag=True,
+              help='Run the extractions NOW, sharded one-session-per-device '
+                   'across the local TPU chips, instead of emitting commands')
+@click.option('--max-concurrent', default=None, type=OptionalParamType(click.INT),
+              help='With --in-process: bound on simultaneously running '
+                   'sessions (default: one per device)')
 def extract_batch(input_dir, model, config_file, cluster_type, slurm_partition,
                   slurm_ncpus, slurm_memory, slurm_wall_time, prefix, extension,
-                  bg_roi_index):
+                  bg_roi_index, in_process, max_concurrent):
     '''Emit per-session extract commands for local or SLURM execution
-    (m2de/cli.py:822-863). On a TPU pod, sessions shard across hosts/chips —
-    each emitted command is independent.'''
+    (m2de/cli.py:822-863) — or, with --in-process, run them immediately with
+    each session's model pinned to its own local device
+    (parallel/sessions.py). On a multi-host TPU pod, sessions shard across
+    hosts via the emitted commands; within one host, --in-process shards
+    across that host's chips.'''
     setup_logging()
     sessions = scan_unextracted_sessions(input_dir, extension=extension,
                                          bg_roi_index=bg_roi_index)
+    if in_process:
+        from moseq2_detectron_extract_tpu.io.util import read_yaml
+        from moseq2_detectron_extract_tpu.parallel import extract_sessions_sharded
+        if not sessions:
+            print('No unextracted sessions found.')
+            return
+        config = get_command_defaults(extract)
+        if config_file:
+            config.update(read_yaml(config_file) or {})
+        config.update({'model': model, 'bg_roi_index': bg_roi_index,
+                       'output_dir': None, 'use_tracking_model': False,
+                       'flip_classifier': model, 'dataset_name': 'moseq',
+                       'param_annotations': click_param_annot(extract)})
+        if config.get('allowed_detections') is None:
+            config['allowed_detections'] = (config['expected_instances'] + 1) * 2
+        results = extract_sessions_sharded(sessions, config,
+                                           max_concurrent=max_concurrent)
+        failed = [s for s in sessions if s not in results]
+        for path, status in results.items():
+            print(f'{path}: {status}')
+        for path in failed:
+            print(f'{path}: FAILED (see log)')
+        if failed:
+            sys.exit(1)
+        return
     commands = []
     for session_path in sessions:
         cmd = f'moseq2-detectron-extract-tpu extract --model {model}'

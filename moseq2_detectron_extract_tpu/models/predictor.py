@@ -41,6 +41,22 @@ class Predictor:
         self.params = params
         self.batch_size = int(batch_size)
 
+    def to_device(self, device) -> 'Predictor':
+        '''Return a Predictor whose params are committed to ``device``.
+
+        `jax.default_device` does NOT move already-committed arrays, so
+        per-device session sharding (parallel/sessions.py) must device_put
+        the params explicitly; jit then places each instance's programs on
+        its params' device (self is a static arg, so compiled caches are
+        per-instance and cannot cross devices).
+        '''
+        clone = Predictor.__new__(Predictor)
+        clone.cfg = self.cfg
+        clone.model = self.model
+        clone.params = jax.device_put(self.params, device)
+        clone.batch_size = self.batch_size
+        return clone
+
     @classmethod
     def from_model_dir(cls, model_dir: str, checkpoint: str = 'last',
                        batch_size: int = 10,

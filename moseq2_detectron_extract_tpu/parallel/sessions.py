@@ -2,15 +2,39 @@
 
 The extraction workload is embarrassingly parallel per session (the reference
 scaled out with one SLURM job per session, m2de/cli.py:822-863). On a TPU
-slice we instead pin each session's inference step to its own chip and run
-the host pipelines concurrently on threads — the BASELINE.json v5e-8
-multi-session configuration.
+slice we instead pin each session's model params (and therefore its jitted
+inference programs) to its own chip and run the host pipelines concurrently
+on threads — the BASELINE.json v5e-8 multi-session configuration.
+
+Placement works by committing a copy of the params to each device
+(`Predictor.to_device`): jit places a program on the device of its committed
+arguments, so each session's whole inference path runs on its own chip with
+no cross-device traffic. `jax.default_device` alone would NOT do this — it
+never moves committed arrays, so every session would silently follow the
+shared params to device 0.
 '''
 import logging
 import threading
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import jax
+
+
+def _build_device_predictors(config: dict, devices) -> list:
+    '''One Predictor per device, params committed to that device.
+
+    The base params are loaded (or taken from config['predictor']) once on
+    host and device_put per device — model weights transfer once per chip.
+    '''
+    from moseq2_detectron_extract_tpu.models.predictor import Predictor
+
+    base = config.get('predictor')
+    if base is None:
+        base = Predictor.from_model_dir(
+            config['model'], checkpoint=config.get('checkpoint', 'last'),
+            batch_size=config.get('batch_size', 10),
+            score_threshold=config.get('instance_threshold'))
+    return [base.to_device(dev) for dev in devices]
 
 
 def extract_sessions_sharded(session_paths: Sequence[str], config: dict,
@@ -20,7 +44,9 @@ def extract_sessions_sharded(session_paths: Sequence[str], config: dict,
 
     Returns {session_path: status_yaml_path}. ``config`` is the extract config
     dict (a copy is made per session; output dirs default next to each
-    session).
+    session). Sessions beyond ``len(devices)`` round-robin onto the devices;
+    ``max_concurrent`` bounds simultaneously running pipelines (default: one
+    per device).
     '''
     from copy import deepcopy
 
@@ -30,6 +56,7 @@ def extract_sessions_sharded(session_paths: Sequence[str], config: dict,
     if devices is None:
         devices = jax.local_devices()
     max_concurrent = max_concurrent or len(devices)
+    predictors = _build_device_predictors(config, devices)
     results: Dict[str, str] = {}
     lock = threading.Lock()
     sem = threading.Semaphore(max_concurrent)
@@ -38,12 +65,15 @@ def extract_sessions_sharded(session_paths: Sequence[str], config: dict,
         with sem:
             device = devices[idx % len(devices)]
             session_config = deepcopy(
-                {k: v for k, v in config.items() if k != 'predictor'})
+                {k: v for k, v in config.items()
+                 if k not in ('predictor', 'output_dir')})
             session_config['output_dir'] = None
             session_config['device'] = device
-            if 'predictor' in config:
-                session_config['predictor'] = config['predictor']
+            session_config['predictor'] = predictors[idx % len(devices)]
             try:
+                # default_device steers the non-predictor device work (prep,
+                # feature ops) of this thread; the predictor's committed
+                # params pin the model itself.
                 with jax.default_device(device):
                     session = Session(path, frame_trim=session_config.get(
                         'frame_trim', (0, 0)))
