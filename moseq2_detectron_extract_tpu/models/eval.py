@@ -2,20 +2,40 @@
 
 Parity target: m2de/model/eval.py:23-162 + the COCOEvaluator the reference
 delegates to. pycocotools is unavailable in this image, so the matching/AP
-math is implemented directly (single-class, greedy score-ordered matching at
-IoU/OKS thresholds 0.50:0.95:0.05, 101-point interpolated AP).
+math is implemented directly to COCOeval's exact semantics (single class):
+
+* greedy score-ordered matching at IoU/OKS thresholds 0.50:0.95:0.05,
+  each detection taking the highest-similarity unmatched GT;
+* per-image ``maxDets`` truncation before matching (100 for bbox/segm,
+  20 for keypoints, as in pycocotools Params);
+* area-range ignore semantics: GT outside the range are ignored (not counted
+  in recall), detections matched to ignored GT are ignored, and *unmatched*
+  detections whose own area falls outside the range are ignored too;
+* 101-point AP with COCOeval's step lookup (precision at the smallest
+  recall >= r via searchsorted), NOT linear interpolation;
+* stable sorts everywhere scores can tie (pycocotools uses mergesort).
+
+Validated against hand-derived COCOeval golden values in
+tests/test_eval_golden.py.
 '''
 import logging
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from moseq2_detectron_extract_tpu.io.annot import DataItem, poly_to_mask
 from moseq2_detectron_extract_tpu.models.config import ModelConfig
 
-IOU_THRESHOLDS = np.arange(0.5, 1.0, 0.05)
+IOU_THRESHOLDS = np.linspace(0.5, 0.95, 10)
 RECALL_POINTS = np.linspace(0.0, 1.0, 101)
+# pycocotools Params: areaRng 'all'/'small'/'medium'/'large'
+AREA_RANGES = {
+    'all': (0.0, 1e10),
+    'small': (0.0, 32.0 ** 2),
+    'medium': (32.0 ** 2, 96.0 ** 2),
+    'large': (96.0 ** 2, 1e10),
+}
 
 
 def _box_iou_matrix(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
@@ -60,57 +80,133 @@ def _oks_matrix(pred_kpts: np.ndarray, gt_kpts: np.ndarray, gt_areas: np.ndarray
     return out
 
 
-def _average_precision(matched: np.ndarray, scores: np.ndarray, n_gt: int) -> float:
-    '''101-point interpolated AP given per-prediction match flags.'''
+def _average_precision(matched: np.ndarray, ignored: np.ndarray,
+                       scores: np.ndarray, n_gt: int) -> float:
+    '''101-point AP with COCOeval accumulate() semantics.
+
+    ``matched``/``ignored`` are per-detection flags; ignored detections are
+    excluded from both TP and FP. Precision at each of the 101 recall points
+    is the precision at the smallest achieved recall >= that point (step
+    lookup via searchsorted, pycocotools cocoeval.py accumulate), with the
+    monotone non-increasing envelope applied first.
+    '''
     if n_gt == 0:
         return float('nan')
-    order = np.argsort(-scores)
-    tp = matched[order].astype(float)
+    order = np.argsort(-scores, kind='stable')
+    keep = ~ignored[order]
+    tp = matched[order][keep].astype(float)
+    if tp.size == 0:
+        return 0.0
     fp = 1.0 - tp
     cum_tp = np.cumsum(tp)
     cum_fp = np.cumsum(fp)
     recall = cum_tp / n_gt
-    precision = cum_tp / np.maximum(cum_tp + cum_fp, 1e-9)
-    # monotone non-increasing precision envelope
-    for i in range(len(precision) - 2, -1, -1):
-        precision[i] = max(precision[i], precision[i + 1])
-    return float(np.mean(np.interp(RECALL_POINTS, recall, precision,
-                                   left=precision[0] if len(precision) else 0.0,
-                                   right=0.0))) if len(precision) else 0.0
+    precision = cum_tp / np.maximum(cum_tp + cum_fp, np.spacing(1))
+    precision = np.maximum.accumulate(precision[::-1])[::-1]
+    idx = np.searchsorted(recall, RECALL_POINTS, side='left')
+    q = np.zeros(len(RECALL_POINTS))
+    valid = idx < len(precision)
+    q[valid] = precision[idx[valid]]
+    return float(np.mean(q))
 
 
-def _evaluate_task(sim_matrices: List[np.ndarray], scores_per_image: List[np.ndarray]
-                   ) -> Dict[str, float]:
-    '''AP over thresholds given per-image similarity matrices (P_i, G_i).'''
-    n_gt = sum(m.shape[1] for m in sim_matrices)
-    results = {}
-    aps = []
-    for thresh in IOU_THRESHOLDS:
-        matched_flags = []
-        all_scores = []
-        for sim, scores in zip(sim_matrices, scores_per_image):
-            order = np.argsort(-scores)
-            gt_used = np.zeros(sim.shape[1], bool)
-            flags = np.zeros(len(scores), bool)
-            for i in order:
-                if sim.shape[1] == 0:
-                    break
-                cand = np.where(~gt_used, sim[i], -1.0)
-                j = int(np.argmax(cand))
-                if cand[j] >= thresh:
-                    gt_used[j] = True
-                    flags[i] = True
-            matched_flags.append(flags)
-            all_scores.append(scores)
-        ap = _average_precision(np.concatenate(matched_flags) if matched_flags else np.zeros(0),
-                                np.concatenate(all_scores) if all_scores else np.zeros(0),
-                                n_gt)
-        aps.append(ap)
-        if abs(thresh - 0.5) < 1e-9:
-            results['AP50'] = ap * 100
-        if abs(thresh - 0.75) < 1e-9:
-            results['AP75'] = ap * 100
-    results['AP'] = float(np.nanmean(aps)) * 100
+def _match_image(sim: np.ndarray, scores: np.ndarray, gt_ignore: np.ndarray,
+                 det_in_range: np.ndarray, thresh: float
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    '''COCOeval evaluateImg greedy matching for one image at one threshold.
+
+    Detections (already maxDets-truncated, score-sorted on entry order) each
+    take the highest-similarity available GT; non-ignored GT are preferred
+    over ignored GT (pycocotools iterates GT sorted by ignore flag and keeps
+    upgrading while the candidate is non-ignored). Returns (matched,
+    det_ignored) flags aligned with the input detection order.
+    '''
+    n_det, n_gt = sim.shape
+    matched = np.zeros(n_det, bool)
+    det_ig = np.zeros(n_det, bool)
+    gt_used = np.zeros(n_gt, bool)
+    # pycocotools iterates GT non-ignored first (argsort on the ignore flag)
+    gt_order = np.argsort(gt_ignore.astype(int), kind='stable')
+    det_order = np.argsort(-scores, kind='stable')
+    for i in det_order:
+        best_j = -1
+        best_sim = min(thresh, 1 - 1e-10)
+        for j in gt_order:
+            if gt_used[j]:
+                continue
+            # already matched to a non-ignored GT and now entering the
+            # ignored section: stop (cocoeval.py evaluateImg break rule)
+            if best_j > -1 and not gt_ignore[best_j] and gt_ignore[j]:
+                break
+            if sim[i, j] < best_sim:
+                continue
+            best_sim = sim[i, j]
+            best_j = j
+        if best_j >= 0:
+            gt_used[best_j] = True
+            if gt_ignore[best_j]:
+                det_ig[i] = True       # matched an ignored GT -> ignore det
+            else:
+                matched[i] = True
+    # unmatched detections whose own area is outside the range are ignored
+    det_ig |= (~matched) & (~det_in_range)
+    return matched, det_ig
+
+
+def _evaluate_task(sim_matrices: List[np.ndarray],
+                   scores_per_image: List[np.ndarray],
+                   gt_areas_per_image: List[np.ndarray],
+                   det_areas_per_image: List[np.ndarray],
+                   max_dets: int,
+                   area_labels: Sequence[str]) -> Dict[str, float]:
+    '''AP over IoU thresholds x area ranges given per-image similarity
+    matrices (P_i, G_i), with COCOeval maxDets + ignore semantics.'''
+    results: Dict[str, float] = {}
+
+    # maxDets truncation: keep the top-scoring max_dets detections per image
+    trunc = []
+    for sim, scores, dareas in zip(sim_matrices, scores_per_image,
+                                   det_areas_per_image):
+        if len(scores) > max_dets:
+            keep = np.argsort(-scores, kind='stable')[:max_dets]
+            keep.sort()
+            sim, scores, dareas = sim[keep], scores[keep], dareas[keep]
+        trunc.append((sim, scores, dareas))
+
+    for label in area_labels:
+        lo, hi = AREA_RANGES[label]
+        aps = []
+        for thresh in IOU_THRESHOLDS:
+            flags, igs, all_scores = [], [], []
+            n_gt = 0
+            for (sim, scores, dareas), gareas in zip(trunc, gt_areas_per_image):
+                gt_ignore = (gareas < lo) | (gareas > hi)
+                n_gt += int((~gt_ignore).sum())
+                det_in = (dareas >= lo) & (dareas <= hi)
+                m, ig = _match_image(sim, scores, gt_ignore, det_in, thresh)
+                flags.append(m)
+                igs.append(ig)
+                all_scores.append(scores)
+            ap = _average_precision(
+                np.concatenate(flags) if flags else np.zeros(0, bool),
+                np.concatenate(igs) if igs else np.zeros(0, bool),
+                np.concatenate(all_scores) if all_scores else np.zeros(0),
+                n_gt)
+            aps.append(ap)
+            if label == 'all':
+                if abs(thresh - 0.5) < 1e-9:
+                    results['AP50'] = ap * 100
+                if abs(thresh - 0.75) < 1e-9:
+                    results['AP75'] = ap * 100
+        finite = [a for a in aps if not np.isnan(a)]
+        # pycocotools summarize(): -1 when no GT falls in the area range
+        mean_ap = float(np.mean(finite)) * 100 if finite else -1.0
+        if label == 'all':
+            results['AP'] = mean_ap
+            if np.isnan(results.get('AP50', 0.0)):
+                results['AP50'] = results['AP75'] = -1.0
+        else:
+            results['AP' + label[0]] = mean_ap  # APs / APm / APl
     return results
 
 
@@ -133,12 +229,21 @@ def _gt_from_item(item: DataItem):
 
 def evaluate_predictions(items: Sequence[DataItem],
                          predictions: Sequence[Dict[str, np.ndarray]],
-                         oks_sigmas: Sequence[float]) -> Dict[str, Dict[str, float]]:
+                         oks_sigmas: Sequence[float],
+                         max_dets: int = 100,
+                         kp_max_dets: int = 20) -> Dict[str, Dict[str, float]]:
     '''Compute bbox/segm/keypoints AP for per-image prediction dicts
     (boxes (D, 4), scores (D,), valid (D,), masks (D, H, W),
-    keypoints (D, K, 3)).'''
+    keypoints (D, K, 3)).
+
+    Output keys per task: AP, AP50, AP75, APs, APm, APl (keypoints: APm/APl
+    only, like pycocotools' keypoint Params). maxDets defaults match
+    pycocotools (100 for bbox/segm, 20 for keypoints).
+    '''
     sigmas = np.asarray(oks_sigmas, float)
     box_sims, mask_sims, kp_sims, scores_list = [], [], [], []
+    gt_box_areas, gt_mask_areas, det_box_areas, det_mask_areas = [], [], [], []
+    kp_gt_areas = []
     for item, pred in zip(items, predictions):
         gt_boxes, gt_masks, gt_kpts = _gt_from_item(item)
         valid = np.asarray(pred['valid'], bool)
@@ -149,18 +254,35 @@ def evaluate_predictions(items: Sequence[DataItem],
         box_sims.append(_box_iou_matrix(p_boxes, gt_boxes))
         p_masks = [np.asarray(m, bool) for m in np.asarray(pred['masks'])[valid]]
         mask_sims.append(_mask_iou_matrix(p_masks, gt_masks))
+        # COCO gt 'area' is the segmentation area; use it for every task's
+        # area-range bucketing (cocoeval uses g['area'] regardless of iouType)
+        g_area = np.asarray([m.sum() for m in gt_masks], float)
+        gt_box_areas.append(g_area)
+        gt_mask_areas.append(g_area)
+        det_box_areas.append(
+            np.prod(np.clip(p_boxes[:, 2:] - p_boxes[:, :2], 0, None), axis=1)
+            if len(p_boxes) else np.zeros(0))
+        det_mask_areas.append(np.asarray([m.sum() for m in p_masks], float))
         if gt_kpts.size:
-            gt_areas = np.prod(np.clip(gt_boxes[:, 2:] - gt_boxes[:, :2], 0, None),
-                               axis=1)
+            kp_scale = np.prod(np.clip(gt_boxes[:, 2:] - gt_boxes[:, :2], 0,
+                                       None), axis=1)
             kp_sims.append(_oks_matrix(np.asarray(pred['keypoints'])[valid],
-                                       gt_kpts, gt_areas, sigmas))
+                                       gt_kpts, kp_scale, sigmas))
+            kp_gt_areas.append(g_area)
         else:
             kp_sims.append(np.zeros((len(p_scores), 0)))
+            kp_gt_areas.append(np.zeros(0))
 
     return {
-        'bbox': _evaluate_task(box_sims, scores_list),
-        'segm': _evaluate_task(mask_sims, scores_list),
-        'keypoints': _evaluate_task(kp_sims, scores_list),
+        'bbox': _evaluate_task(box_sims, scores_list, gt_box_areas,
+                               det_box_areas, max_dets,
+                               ('all', 'small', 'medium', 'large')),
+        'segm': _evaluate_task(mask_sims, scores_list, gt_mask_areas,
+                               det_mask_areas, max_dets,
+                               ('all', 'small', 'medium', 'large')),
+        'keypoints': _evaluate_task(kp_sims, scores_list, kp_gt_areas,
+                                    det_box_areas, kp_max_dets,
+                                    ('all', 'medium', 'large')),
     }
 
 
