@@ -128,6 +128,96 @@ def draw_instances(image: np.ndarray, masks: np.ndarray, keypoints: np.ndarray,
     return image
 
 
+def draw_annotation_item(item: Dict) -> np.ndarray:
+    '''Render one annotated dataset item: image + GT masks/keypoints/boxes.
+
+    Returns an RGB uint8 array. Segmentations may be boolean masks or
+    Label-Studio polygon lists (m2de DataItem shape).
+    '''
+    from moseq2_detectron_extract_tpu.io.annot import poly_to_mask
+    from moseq2_detectron_extract_tpu.io.image import read_image
+
+    image = np.atleast_3d(read_image(item['file_name']))[:, :, 0]
+    scale_factor = item.get('rescale_intensity') or 1
+    image = np.clip(image.astype('float32') * scale_factor, 0, 255)
+    rgb = _gray_chunk_to_rgb(image.astype('uint8')[None])[0]
+    h, w = rgb.shape[:2]
+    for annot in item.get('annotations', []):
+        seg = annot.get('segmentation')
+        if seg is not None:
+            if isinstance(seg, np.ndarray) and seg.dtype != object:
+                mask = np.atleast_3d(seg)[:, :, 0].astype(bool)
+            else:
+                poly = np.reshape(np.asarray(seg[0], float), (-1, 2))
+                mask = poly_to_mask(poly, (h, w))[..., 0].astype(bool)
+            _blend_mask(rgb, mask, color=(0, 120, 255), alpha=0.35)
+            draw_mask_contour(rgb, mask, color=(0, 200, 255))
+        kp = np.asarray(annot.get('keypoints', []), float).reshape(-1, 3)
+        if kp.size:
+            draw_keypoints(rgb, kp[:, :2])
+        box = annot.get('bbox')
+        if box is not None and HAS_CV2:
+            x0, y0, x1, y1 = [int(round(v)) for v in box]
+            cv2.rectangle(rgb, (x0, y0), (x1, y1), (0, 255, 0), 1)
+    return rgb
+
+
+def visualize_annotations(annotations: Sequence[Dict], num: int = 5,
+                          seed: Optional[int] = None):
+    '''Visualize annotated segmentation masks and keypoints on a sampled
+    subset of items (m2de/viz.py:29-51 analog; drawing is our cv2 overlay
+    stack instead of detectron2's Visualizer).
+
+    Returns (fig, axs) when matplotlib is importable, else a horizontally
+    stacked RGB array of the rendered items.
+    '''
+    import random as _random
+    rng = _random.Random(seed)
+    num = min(num, len(annotations))
+    sampled = rng.sample(list(annotations), num)
+    rendered = [draw_annotation_item(item) for item in sampled]
+    try:
+        import matplotlib.pyplot as plt
+    except ImportError:  # pragma: no cover
+        return stack_videos([r[None] for r in rendered],
+                            orientation='horizontal')[0]
+    fig, axs = plt.subplots(1, num, figsize=(4 * num, 4), squeeze=False)
+    for image, ax in zip(rendered, axs[0]):
+        ax.imshow(image)
+        ax.axis('off')
+    return fig, axs[0]
+
+
+def visualize_inference(frame: np.ndarray, prediction: Dict[str, np.ndarray],
+                        min_height: float, max_height: float,
+                        scale: float = 2.0) -> np.ndarray:
+    '''Visualize a prediction dict over a raw depth frame
+    (m2de/viz.py:54-73 analog).
+
+    ``frame`` is (H, W) depth in mm; ``prediction`` is a Predictor-style
+    dict (masks (D, H, W), keypoints (D, K, 3), scores (D,), valid (D,)).
+    The frame is normalized by [min_height, max_height], instances are drawn
+    (mask outline + keypoints + score), and the result is geometrically
+    scaled by ``scale``. Returns RGB uint8.
+    '''
+    norm = (np.asarray(frame, 'float32') - min_height) / \
+        max(max_height - min_height, 1e-9)
+    gray = (np.clip(norm, 0, 1) * 255).astype('uint8')
+    rgb = _gray_chunk_to_rgb(gray[None])[0]
+    valid = np.asarray(prediction.get(
+        'valid', np.ones(len(prediction['masks']), bool)), bool)
+    masks = np.asarray(prediction['masks'])[valid]
+    keypoints = np.asarray(prediction['keypoints'])[valid]
+    scores = prediction.get('scores')
+    scores = np.asarray(scores)[valid] if scores is not None else None
+    draw_instances(rgb, masks, keypoints, scores)
+    if scale != 1.0 and HAS_CV2:
+        rgb = cv2.resize(rgb, (int(rgb.shape[1] * scale),
+                               int(rgb.shape[0] * scale)),
+                         interpolation=cv2.INTER_LINEAR)
+    return rgb
+
+
 # ---------------------------------------------------------------------------
 # composited views (m2de/viz.py:524-620)
 # ---------------------------------------------------------------------------

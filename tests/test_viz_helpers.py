@@ -1,0 +1,97 @@
+'''visualize_annotations / visualize_inference helpers (m2de/viz.py:29-73).'''
+import os
+
+import matplotlib
+matplotlib.use('Agg')
+
+import numpy as np
+import pytest
+
+from moseq2_detectron_extract_tpu import viz
+from moseq2_detectron_extract_tpu.io.image import write_image
+
+H = W = 96
+
+
+def write_item(tmp_path, idx):
+    rng = np.random.default_rng(idx)
+    image = rng.integers(0, 60, (H, W)).astype('uint8')
+    image[30:60, 20:70] = 200
+    path = str(tmp_path / f'frame{idx}.png')
+    write_image(path, image, scale=False, dtype='uint8')
+    mask = np.zeros((H, W), bool)
+    mask[30:60, 20:70] = True
+    kp = np.column_stack([np.linspace(25, 65, 8), np.full(8, 45.0),
+                          np.full(8, 2.0)])
+    return {
+        'file_name': path, 'height': H, 'width': W, 'rescale_intensity': 1,
+        'annotations': [{'bbox': [20.0, 30.0, 70.0, 60.0],
+                         'segmentation': mask,
+                         'keypoints': kp.ravel().tolist()}],
+    }
+
+
+class TestVisualizeAnnotations:
+    def test_returns_figure_with_drawn_overlays(self, tmp_path):
+        items = [write_item(tmp_path, i) for i in range(4)]
+        fig, axs = viz.visualize_annotations(items, num=3, seed=0)
+        assert len(axs) == 3
+        # every axis holds a rendered image of the right size
+        for ax in axs:
+            (im,) = ax.get_images()
+            assert im.get_array().shape[:2] == (H, W)
+        import matplotlib.pyplot as plt
+        plt.close(fig)
+
+    def test_draw_annotation_item_marks_pixels(self, tmp_path):
+        item = write_item(tmp_path, 0)
+        rendered = viz.draw_annotation_item(item)
+        assert rendered.shape == (H, W, 3)
+        # overlays must actually change pixels vs the plain grayscale image
+        plain = viz._gray_chunk_to_rgb(
+            np.clip(np.atleast_3d(
+                np.asarray(matplotlib.image.imread(item['file_name']))
+            )[:, :, 0] * 255, 0, 255).astype('uint8')[None])[0]
+        assert rendered.shape == plain.shape
+        assert (rendered != plain).any()
+
+    def test_polygon_segmentation_accepted(self, tmp_path):
+        item = write_item(tmp_path, 1)
+        item['annotations'][0]['segmentation'] = [
+            [20.0, 30.0, 70.0, 30.0, 70.0, 60.0, 20.0, 60.0]]
+        rendered = viz.draw_annotation_item(item)
+        assert rendered.shape == (H, W, 3)
+
+
+class TestVisualizeInference:
+    def _pred(self, d=2):
+        masks = np.zeros((d, H, W), bool)
+        masks[0, 30:60, 20:70] = True
+        masks[1, 10:20, 10:20] = True
+        kp = np.zeros((d, 8, 3))
+        kp[0, :, 0] = np.linspace(25, 65, 8)
+        kp[0, :, 1] = 45.0
+        kp[0, :, 2] = 2.0
+        return {'masks': masks, 'keypoints': kp,
+                'scores': np.array([0.9, 0.4]),
+                'valid': np.array([True, False])}
+
+    def test_scales_and_draws_only_valid_instances(self):
+        frame = np.full((H, W), 10.0)
+        frame[30:60, 20:70] = 45.0
+        out = viz.visualize_inference(frame, self._pred(), min_height=0,
+                                      max_height=100, scale=2.0)
+        assert out.shape == (2 * H, 2 * W, 3)
+        assert out.dtype == np.uint8
+        # the invalid instance's region must stay untouched grayscale
+        region = out[2 * 12:2 * 18, 2 * 12:2 * 18]
+        assert (region[..., 0] == region[..., 1]).all()
+        assert (region[..., 1] == region[..., 2]).all()
+
+    def test_scale_one_keeps_resolution(self):
+        frame = np.full((H, W), 30.0)
+        out = viz.visualize_inference(frame, self._pred(), 0, 100, scale=1.0)
+        assert out.shape == (H, W, 3)
+        # valid instance overlay changed pixels inside its mask bbox
+        plain = np.full((H, W, 3), int(0.3 * 255), 'uint8')
+        assert (out[30:60, 20:70] != plain[30:60, 20:70]).any()
