@@ -230,6 +230,13 @@ class MaskKeypointRCNN(nn.Module):
         }
 
         # ---- sample proposals for ROI heads (append gt boxes like D2)
+        # DETACH the proposals (D2 decodes them under torch.no_grad,
+        # rpn.py predict_proposals). Without this, the head losses backprop
+        # through ROIAlign's bilinear weights and the box coordinates into
+        # the RPN deltas head, dragging proposals toward whatever warp helps
+        # the heads memorize — observed as full-height slab proposals with
+        # loss_rpn_loc climbing to ~0.46 while every head loss kept falling.
+        proposals = jax.lax.stop_gradient(proposals)
         all_props = jnp.concatenate([proposals, gt['boxes']], axis=1)
         all_valid = jnp.concatenate([prop_valid, gt['valid']], axis=1)
         rng, roi_rng = jax.random.split(rng)

@@ -5,6 +5,7 @@ Solver parity with m2de/model/config.py:60-68: SGD momentum 0.9, base LR
 100k iterations, checkpoints every 5k. FrozenBN statistics are excluded from
 optimization via an optax mask.
 '''
+import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -51,19 +52,50 @@ def _trainable_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(mask_fn, params)
 
 
+def zero_nonfinite() -> optax.GradientTransformation:
+    '''Zero every non-finite gradient value (NaN AND +/-inf).
+
+    optax.zero_nans() passes inf through; a single inf grad (bf16 overflow)
+    then drives clip_by_global_norm's scale to clip/inf = 0 and inf * 0 = NaN
+    poisons the params permanently (observed: prod-config run NaN'd within
+    250 steps). AMP grad-scaler equivalent: skip the bad values, keep the run.
+    '''
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        updates = jax.tree_util.tree_map(
+            lambda g: jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g)), updates)
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(cfg: ModelConfig, params) -> optax.GradientTransformation:
     '''SGD + momentum + weight decay with LR schedule, global-norm clipping,
     and frozen-stat mask.'''
-    # zero_nans: a single inf/nan grad (bf16 overflow) must not poison the
-    # run — the step is skipped for that tensor (AMP grad-scaler equivalent)
-    steps = [optax.zero_nans()]
+    # a single inf/nan grad (bf16 overflow) must not poison the run —
+    # the bad values are skipped for that step (see zero_nonfinite)
+    steps = [zero_nonfinite()]
     if cfg.grad_clip_norm:
         steps.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
     steps += [
         optax.add_decayed_weights(cfg.weight_decay),
         optax.sgd(learning_rate=lr_schedule(cfg), momentum=cfg.momentum),
     ]
-    return optax.masked(optax.chain(*steps), _trainable_mask(params))
+    # NOT optax.masked: masked() passes the RAW GRADIENT through unchanged
+    # for masked-out leaves, so apply_updates would train the "frozen" BN
+    # statistics at an effective LR of 1.0 — observed driving a var negative
+    # (sqrt(var+eps) -> NaN) within ~170 prod-config steps. Frozen leaves
+    # must get a hard zero update.
+    labels = jax.tree_util.tree_map(
+        lambda trainable: 'trainable' if trainable else 'frozen',
+        _trainable_mask(params))
+    return optax.multi_transform(
+        {'trainable': optax.chain(*steps), 'frozen': optax.set_to_zero()},
+        labels)
 
 
 def create_train_state(cfg: ModelConfig, rng) -> TrainState:
@@ -94,7 +126,9 @@ def make_train_step(cfg: ModelConfig):
                              method=MaskKeypointRCNN.losses)
         return losses['total_loss'], losses
 
-    @jax.jit
+    # donate the state: params + optimizer buffers update in place in HBM
+    # instead of holding old+new copies live across the step
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Dict[str, Any], rng) -> Tuple[TrainState, Dict]:
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch['images'], batch['gt'], rng)

@@ -172,3 +172,110 @@ class TestDataParallel:
             state, metrics = step(state, shard_batch(mesh, batch), jax.random.PRNGKey(1))
         assert np.isfinite(float(np.asarray(metrics['total_loss'])))
         assert int(np.asarray(state.step)) == 1
+
+
+class TestOptimizerRobustness:
+    def test_inf_and_nan_grads_cannot_poison_params(self):
+        '''Regression: optax.zero_nans passes inf through, and an inf grad
+        drives clip_by_global_norm's scale to 0 with inf*0 = NaN -> params
+        NaN forever (observed on a prod-config TPU run). The optimizer must
+        keep params finite through nan AND inf gradients.'''
+        from moseq2_detectron_extract_tpu.models.train import make_optimizer
+        import optax
+
+        cfg = tiny_config()
+        params = {'a': jnp.ones((4, 4)), 'b': jnp.ones(3)}
+        tx = make_optimizer(cfg, params)
+        opt_state = tx.init(params)
+        for bad in (jnp.inf, -jnp.inf, jnp.nan):
+            grads = {'a': jnp.full((4, 4), bad),
+                     'b': jnp.asarray([1.0, bad, 2.0])}
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            assert all(np.isfinite(np.asarray(v)).all()
+                       for v in jax.tree.leaves(params)), f'poisoned by {bad}'
+        # finite components still flow: b[0]/b[2] moved
+        assert not np.allclose(np.asarray(params['b'])[[0, 2]], 1.0)
+
+    def test_frozen_bn_stats_get_exactly_zero_updates(self):
+        '''Regression: optax.masked passes raw gradients through UNCHANGED
+        for masked-out leaves, which trained the "frozen" BN statistics at
+        an effective LR of 1.0 until a variance went negative and
+        sqrt(var+eps) NaN'd the whole model (observed at prod-config step
+        ~170). Frozen leaves must receive hard-zero updates; trainable
+        leaves must still move.'''
+        from moseq2_detectron_extract_tpu.models.train import (
+            create_train_state, make_optimizer)
+        import optax
+
+        cfg = tiny_config()
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        tx = make_optimizer(cfg, state.params)
+        opt_state = tx.init(state.params)
+        # adversarial: gradient of 1 everywhere, including frozen stats
+        grads = jax.tree.map(jnp.ones_like, state.params)
+        updates, _ = tx.update(grads, opt_state, state.params)
+
+        frozen_paths, trainable_moved = [], False
+        for path, u in jax.tree_util.tree_leaves_with_path(updates):
+            names = [getattr(p, 'key', str(p)) for p in path]
+            if any('FrozenBatchNorm' in str(n) for n in names):
+                assert np.all(np.asarray(u) == 0.0), \
+                    f'frozen leaf updated: {names}'
+                frozen_paths.append(names)
+            elif np.any(np.asarray(u) != 0.0):
+                trainable_moved = True
+        assert frozen_paths, 'no FrozenBatchNorm leaves found in the tree'
+        assert trainable_moved
+
+
+class TestProposalDetachment:
+    def test_head_losses_do_not_backprop_into_rpn(self):
+        '''Regression: D2 decodes proposals under torch.no_grad; without the
+        equivalent stop_gradient, head losses backprop through ROIAlign's
+        bilinear weights into the RPN deltas head and drag proposals toward
+        degenerate full-height slabs while every head loss keeps falling
+        (observed on TPU prod-config overfit runs). Head losses must have
+        exactly zero gradient w.r.t. the RPN head; RPN losses must not.'''
+        from moseq2_detectron_extract_tpu.models.rcnn import MaskKeypointRCNN
+
+        cfg = tiny_config()
+        model = MaskKeypointRCNN(cfg)
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        batch = synthetic_batch(cfg, b=2)
+        images = jnp.repeat(jnp.asarray(batch['image'])[..., None], 3, -1)
+        images = (images - jnp.asarray(cfg.pixel_mean)) / jnp.asarray(cfg.pixel_std)
+        gt = {'boxes': jnp.asarray(batch.get('boxes', np.zeros((2, cfg.max_gt_instances, 4), 'float32'))),
+              'valid': jnp.asarray(batch['valid']),
+              'masks': jnp.asarray(batch['masks']),
+              'keypoints': jnp.asarray(batch['keypoints'])}
+        # boxes from masks
+        bx = np.zeros((2, cfg.max_gt_instances, 4), 'float32')
+        for i in range(2):
+            for g in range(cfg.max_gt_instances):
+                ys, xs = np.where(batch['masks'][i, g])
+                if len(ys):
+                    bx[i, g] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+        gt['boxes'] = jnp.asarray(bx)
+
+        def head_loss(params):
+            losses = model.apply(params, images, gt, jax.random.PRNGKey(2),
+                                 method=MaskKeypointRCNN.losses)
+            return losses['total_loss'] - losses['loss_rpn_cls'] - \
+                losses['loss_rpn_loc']
+
+        def rpn_loss(params):
+            losses = model.apply(params, images, gt, jax.random.PRNGKey(2),
+                                 method=MaskKeypointRCNN.losses)
+            return losses['loss_rpn_cls'] + losses['loss_rpn_loc']
+
+        g_head = jax.grad(head_loss)(state.params)
+        g_rpn = jax.grad(rpn_loss)(state.params)
+
+        rpn_leaves_head = jax.tree_util.tree_leaves(
+            g_head['params']['rpn_head'])
+        rpn_leaves_rpn = jax.tree_util.tree_leaves(g_rpn['params']['rpn_head'])
+        assert all(np.all(np.asarray(l) == 0.0) for l in rpn_leaves_head), \
+            'head losses leak gradient into the RPN head'
+        assert any(np.any(np.asarray(l) != 0.0) for l in rpn_leaves_rpn), \
+            'RPN losses produce no gradient (test is vacuous)'
