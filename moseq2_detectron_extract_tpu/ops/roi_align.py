@@ -127,7 +127,11 @@ def multilevel_roi_align(features: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     def reshape_chunks(a):
         return a.reshape((n_chunks, chunk) + a.shape[1:])
 
-    pooled = jax.lax.map(pool_chunk, tuple(map(reshape_chunks, (
+    # remat: without it the backward pass saves every chunk's bilinear taps
+    # stacked across lax.map iterations — (n_chunks, chunk, S, S, C) f32 per
+    # tap, ~1.5G each at training shapes, which OOMs the chip. Recomputing
+    # the gathers in the backward is near-free next to that.
+    pooled = jax.lax.map(jax.checkpoint(pool_chunk), tuple(map(reshape_chunks, (
         y0p, y1p, x0p, x1p, fyp, fxp, roi_offp, roi_wp))))
     pooled = pooled.reshape((n_chunks * chunk, output_size, output_size, c))
     return pooled[:k]
@@ -230,7 +234,9 @@ def _pool_from_flat(flat, boxes, image_offsets, level_offsets, heights, widths,
     def reshape_chunks(a):
         return a.reshape((n_chunks, chunk) + a.shape[1:])
 
-    pooled = jax.lax.map(pool_chunk, tuple(map(reshape_chunks, (
+    # remat: see multilevel_roi_align — prevents the backward from storing
+    # all chunks' bilinear-tap residuals stacked across lax.map iterations
+    pooled = jax.lax.map(jax.checkpoint(pool_chunk), tuple(map(reshape_chunks, (
         y0p, y1p, x0p, x1p, fyp, fxp, roi_offp, roi_wp))))
     return pooled.reshape((n_chunks * chunk, output_size, output_size, c))[:k]
 
