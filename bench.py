@@ -163,17 +163,29 @@ def main():
     nframes = int(os.environ.get('BENCH_FRAMES', 3000))
     batch_size = int(os.environ.get('BENCH_BATCH', 64))
 
-    # detections capped at 1: the production workload has one mouse, and the
-    # random-weight model at threshold 0 would otherwise emit 4 fake
-    # instances/frame and exercise the (rare) multi-instance paths everywhere
-    cfg = ModelConfig(test_detections_per_image=1)
-    model = MaskKeypointRCNN(cfg)
-    import jax.numpy as jnp
-    images = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), images,
-                        method=MaskKeypointRCNN.inference)
-    predictor = Predictor(cfg, params, batch_size=batch_size,
-                          score_threshold=0.0)
+    # BENCH_MODEL: a trained model dir (e.g. produced by
+    # benchmarks/overfit_ap.py) benchmarks honest detection density at the
+    # production threshold. Default: random weights with detections capped at
+    # 1 (the production workload has one mouse; threshold 0 on a random model
+    # would otherwise emit 4 fake instances/frame) — same compute per frame,
+    # since the whole pipeline is static-shape by design. No public zoo
+    # checkpoint is reachable from this sandbox (zero egress), so random is
+    # the reproducible default; the convert-weights CLI covers real zoo .pkl.
+    model_dir = os.environ.get('BENCH_MODEL')
+    if model_dir:
+        predictor = Predictor.from_model_dir(model_dir, batch_size=batch_size,
+                                             score_threshold=0.5)
+        weights_used = model_dir
+    else:
+        cfg = ModelConfig(test_detections_per_image=1)
+        model = MaskKeypointRCNN(cfg)
+        import jax.numpy as jnp
+        images = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), images,
+                            method=MaskKeypointRCNN.inference)
+        predictor = Predictor(cfg, params, batch_size=batch_size,
+                              score_threshold=0.0)
+        weights_used = 'random-init (BENCH_MODEL unset)'
 
     work = tempfile.mkdtemp(prefix='bench_')
     bground = make_background()
@@ -211,6 +223,7 @@ def main():
         'stage_busy_s': {k: v['busy_s'] for k, v in stage_stats.items()},
         'elapsed_s': round(elapsed, 2),
         'nframes': n,
+        'weights': weights_used,
     }))
 
 

@@ -1,0 +1,223 @@
+'''Overfit-to-AP evidence run (VERDICT r1 item 4): train the production-config
+Mask+Keypoint R-CNN on a small synthetic annotated set until COCO AP50 > 90,
+end-to-end through the real train step + Predictor + COCOeval-semantics
+evaluator. Regenerates the numbers in APREPORT.md.
+
+TPU-native by construction: the whole dataset lives device-resident (one
+upload), augmentation + train step are one jitted program each, and AP evals
+run through the production whole-chunk Predictor. On the tunneled single-chip
+sandbox this runs in minutes; per-step host<->device traffic is a PRNG key.
+
+Usage:
+  python benchmarks/overfit_ap.py                    # production config
+  TINY=1 python benchmarks/overfit_ap.py             # tiny config (CPU ok)
+  SAVE_DIR=/path python benchmarks/overfit_ap.py     # also save a model dir
+'''
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+N_IMAGES = int(os.environ.get('N_IMAGES', 24))
+MAX_STEPS = int(os.environ.get('STEPS', 1500))
+EVAL_EVERY = int(os.environ.get('EVAL_EVERY', 250))
+TARGET_AP50 = float(os.environ.get('TARGET_AP50', 90.0))
+SEED = 0
+
+
+def build_config():
+    from moseq2_detectron_extract_tpu.models.config import ModelConfig
+    if os.environ.get('TINY'):
+        return ModelConfig(
+            image_size=64, resnet_stage_blocks=(1, 1, 1, 1), resnet_width=16,
+            fpn_channels=64, box_fc_dim=128, mask_conv_dims=(64, 64),
+            keypoint_conv_dims=(64, 64), rpn_pre_nms_topk_train=128,
+            rpn_pre_nms_topk_test=128, rpn_post_nms_topk_train=128,
+            rpn_post_nms_topk_test=64, roi_batch_size_per_image=32,
+            test_detections_per_image=1, max_gt_instances=1,
+            base_lr=0.02, warmup_iters=50,
+            min_size_test=64, max_size_test=64,
+            # anchors scaled to the 64px canvas (mouse sqrt-area ~16px;
+            # the 32..512 defaults would leave every anchor sub-0.5 IoU)
+            anchor_sizes=((8,), (16,), (32,), (64,), (128,)))
+    return ModelConfig(
+        test_detections_per_image=1, max_gt_instances=1,
+        base_lr=float(os.environ.get('LR', 5e-3)),
+        warmup_iters=int(os.environ.get('WARMUP', 300)))
+
+
+def make_mouse_dataset(rng, n, s, k):
+    '''Synthetic depth mice: bright rotated ellipses on a dark floor, one per
+    frame, keypoints along the major axis (same family as tests/synthetic.py,
+    generated at the model's native canvas so training needs no resize).'''
+    import cv2
+    images = np.zeros((n, s, s), 'float32')
+    masks = np.zeros((n, 1, s, s), bool)
+    keypoints = np.zeros((n, 1, k, 3), 'float32')
+    valid = np.zeros((n, 1), bool)
+    ax_a, ax_b = max(s // 6, 10), max(s // 13, 5)
+    margin = ax_a + 8
+    for i in range(n):
+        cx = float(rng.uniform(margin, s - margin))
+        cy = float(rng.uniform(margin, s - margin))
+        ang = float(rng.uniform(0, 360))
+        m = np.zeros((s, s), np.uint8)
+        cv2.ellipse(m, (int(cx), int(cy)), (ax_a, ax_b), ang, 0, 360, 1, -1)
+        ca, sa = np.cos(np.radians(ang)), np.sin(np.radians(ang))
+        # head bump at the first-keypoint end: a symmetric ellipse leaves the
+        # tip-to-tail keypoint ordering 180-degree ambiguous (kp AP plateaus
+        # at ~50); real mice are asymmetric (taller head/shoulders)
+        hx = cx - 0.6 * ax_a * ca
+        hy = cy - 0.6 * ax_a * sa
+        head = np.zeros((s, s), np.uint8)
+        cv2.circle(head, (int(hx), int(hy)), max(int(ax_b * 1.25), 4), 1, -1)
+        images[i] = m * 50.0 + head * 18.0 + rng.normal(0, 2, (s, s))
+        masks[i, 0] = (m > 0) | (head > 0)
+        t = np.linspace(-0.8 * ax_a, 0.8 * ax_a, k)
+        keypoints[i, 0, :, 0] = cx + t * ca
+        keypoints[i, 0, :, 1] = cy + t * sa
+        keypoints[i, 0, :, 2] = 2.0
+        valid[i, 0] = True
+    return {'image': images, 'masks': masks, 'keypoints': keypoints,
+            'valid': valid}
+
+
+def make_items(data):
+    '''GT DataItems for the evaluator, straight from the synthetic arrays.'''
+    items = []
+    for i in range(len(data['image'])):
+        m = data['masks'][i, 0]
+        ys, xs = np.where(m)
+        items.append({
+            'height': m.shape[0], 'width': m.shape[1], 'file_name': '<mem>',
+            'annotations': [{
+                'bbox': [float(xs.min()), float(ys.min()),
+                         float(xs.max() + 1), float(ys.max() + 1)],
+                'segmentation': m,
+                'keypoints': data['keypoints'][i, 0].ravel().tolist(),
+            }],
+        })
+    return items
+
+
+def evaluate(cfg, params, data, items):
+    from moseq2_detectron_extract_tpu.models.eval import evaluate_predictions
+    from moseq2_detectron_extract_tpu.models.predictor import Predictor
+    predictor = Predictor(cfg, params, batch_size=8, score_threshold=0.5)
+    out = predictor(np.clip(data['image'], 0, 255).astype('uint8'))
+    preds = [{k: v[i] for k, v in out.items()} for i in range(len(items))]
+    return evaluate_predictions(items, preds, cfg.oks_sigmas)
+
+
+def main():
+    import jax
+    # persistent compile cache: a no-op where the backend compiles remotely,
+    # a 10-minute saving per rerun where it does not
+    try:
+        jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    from moseq2_detectron_extract_tpu.models.augment import augment_batch
+    from moseq2_detectron_extract_tpu.models.train import (create_train_state,
+                                                           make_train_step)
+
+    cfg = build_config()
+    print(f'devices: {jax.devices()}  canvas {cfg.image_size}', flush=True)
+    rng = np.random.default_rng(SEED)
+    data = make_mouse_dataset(rng, N_IMAGES, cfg.image_size, cfg.num_keypoints)
+    items = make_items(data)
+
+    # one upload: the whole dataset stays device-resident; each step gathers
+    # a batch by device-side indices
+    dev = {k: jnp.asarray(v) for k, v in data.items()}
+    batch_size = 8
+
+    no_aug = bool(os.environ.get('NO_AUG'))
+
+    @jax.jit
+    def aug(key, idx):
+        if not no_aug:
+            return augment_batch(key, dev['image'][idx], dev['masks'][idx],
+                                 dev['keypoints'][idx], dev['valid'][idx], cfg)
+        # NO_AUG: overfit the 24 fixed images directly — augmentation turns
+        # the memorization task into full rotation/noise-invariant detection,
+        # which a from-scratch (non-COCO-pretrained) RPN needs far longer to
+        # learn; the overfit evidence only needs the fixed set
+        x = jnp.repeat(dev['image'][idx][..., None], 3, axis=-1)
+        x = (x - jnp.asarray(cfg.pixel_mean)) / jnp.asarray(cfg.pixel_std)
+        imasks = dev['masks'][idx]
+
+        def box_of(masks_one):
+            def one(m):
+                any_m = jnp.any(m)
+                ys = jnp.any(m, axis=1)
+                xs = jnp.any(m, axis=0)
+                idx_y = jnp.arange(m.shape[0], dtype=jnp.float32)
+                idx_x = jnp.arange(m.shape[1], dtype=jnp.float32)
+                y1 = jnp.min(jnp.where(ys, idx_y, jnp.inf))
+                y2 = jnp.max(jnp.where(ys, idx_y, -jnp.inf)) + 1
+                x1 = jnp.min(jnp.where(xs, idx_x, jnp.inf))
+                x2 = jnp.max(jnp.where(xs, idx_x, -jnp.inf)) + 1
+                return jnp.where(any_m, jnp.stack([x1, y1, x2, y2]),
+                                 jnp.zeros(4))
+            return jax.vmap(one)(masks_one)
+
+        gt = {'boxes': jax.vmap(box_of)(imasks),
+              'valid': dev['valid'][idx], 'masks': imasks,
+              'keypoints': dev['keypoints'][idx]}
+        return x, gt
+
+    state = create_train_state(cfg, jax.random.PRNGKey(SEED))
+    step_fn = make_train_step(cfg)
+
+    key = jax.random.PRNGKey(1)
+    history = []
+    t0 = time.time()
+    best = None
+    for step in range(1, MAX_STEPS + 1):
+        key, pk, ak, sk = jax.random.split(key, 4)
+        idx = jax.random.choice(pk, N_IMAGES, (batch_size,), replace=False)
+        images, gt = aug(ak, idx)
+        state, metrics = step_fn(state, {'images': images, 'gt': gt}, sk)
+        if step == 1:
+            jax.block_until_ready(metrics['total_loss'])
+            print(f'compile+step1: {time.time() - t0:.1f}s', flush=True)
+        if step % EVAL_EVERY == 0 or step == MAX_STEPS:
+            loss = float(np.asarray(metrics['total_loss']))
+            res = evaluate(cfg, state.params, data, items)
+            row = {'step': step, 'loss': round(loss, 3),
+                   'bbox_AP50': round(res['bbox']['AP50'], 2),
+                   'segm_AP50': round(res['segm']['AP50'], 2),
+                   'kp_AP50': round(res['keypoints']['AP50'], 2),
+                   'bbox_AP': round(res['bbox']['AP'], 2),
+                   'segm_AP': round(res['segm']['AP'], 2),
+                   'kp_AP': round(res['keypoints']['AP'], 2),
+                   'elapsed_s': round(time.time() - t0, 1)}
+            history.append(row)
+            print(json.dumps(row), flush=True)
+            best = row
+            if min(row['bbox_AP50'], row['segm_AP50'],
+                   row['kp_AP50']) >= TARGET_AP50:
+                print(f'TARGET REACHED at step {step}', flush=True)
+                break
+
+    save_dir = os.environ.get('SAVE_DIR')
+    if save_dir:
+        from moseq2_detectron_extract_tpu.models.checkpoint import save_checkpoint
+        os.makedirs(save_dir, exist_ok=True)
+        cfg.to_yaml(os.path.join(save_dir, 'config.yaml'))
+        save_checkpoint(save_dir, int(np.asarray(state.step)),
+                        {'params': jax.device_get(state.params)})
+        print(f'saved model dir: {save_dir}', flush=True)
+
+    print(json.dumps({'final': best, 'history': history}), flush=True)
+
+
+if __name__ == '__main__':
+    main()
