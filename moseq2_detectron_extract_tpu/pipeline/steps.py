@@ -172,12 +172,16 @@ class ProcessFeaturesStep(PipelineStep):
         keypoints_dev = jnp.asarray(inference['keypoints'])  # (N, D, K, 3)
         expected = self.config.get('expected_instances', 1)
 
+        import time as _time
+        _t0 = _time.perf_counter()
         keep_dev, centers_dev, iou_dev = nms_and_centers(
             masks_dev, jnp.asarray(inference['scores']),
             jnp.asarray(inference['valid']))
         keep = np.asarray(keep_dev)            # (N, D) - tiny transfers
         centers = np.asarray(centers_dev)      # (N, D, 2)
         scores = np.asarray(inference['scores'])
+        self.sub_times['sel_nms'] = self.sub_times.get('sel_nms', 0.0) + \
+            _time.perf_counter() - _t0
         # kept boxes for the live preview's arena overlays (N, D, 4; tiny)
         boxes = np.asarray(inference['boxes']).astype('float64')
         boxes[~keep] = np.nan
@@ -187,6 +191,7 @@ class ProcessFeaturesStep(PipelineStep):
         iou = np.asarray(iou_dev) if multi.any() else None
         kpts_host = np.asarray(keypoints_dev) if multi.any() else None
 
+        _t1 = _time.perf_counter()
         chosen_idx = np.zeros(n, dtype='int32')
         num_instances = np.zeros(n, dtype=int)
         n_true = len(data['frame_idxs'])
@@ -212,6 +217,8 @@ class ProcessFeaturesStep(PipelineStep):
             if chosen:
                 chosen_idx[i] = chosen[0]
 
+        self.sub_times['sel_loop'] = self.sub_times.get('sel_loop', 0.0) + \
+            _time.perf_counter() - _t1
         sel_masks, sel_kpts = gather_selected(
             masks_dev, keypoints_dev, jnp.asarray(chosen_idx),
             jnp.asarray(num_instances > 0))
@@ -351,6 +358,7 @@ class PreviewVideoWriterStep(PipelineStep):
         from moseq2_detectron_extract_tpu.proc.keypoints import \
             default_keypoint_names
         self.kp_names = default_keypoint_names
+        self.sub_times = {'marshal': 0.0, 'render': 0.0, 'encode': 0.0}
 
     def _rotated_keypoints(self, kp_dict, n):
         cols = []
@@ -363,6 +371,8 @@ class PreviewVideoWriterStep(PipelineStep):
         return np.stack(cols, axis=1)  # (N, K, 2)
 
     def process(self, data):
+        import time as _time
+        t0 = _time.perf_counter()
         offset = data['offset']
         n_true = len(data['frame_idxs'])
         chunk = np.asarray(data['chunk'])[offset:n_true]
@@ -380,18 +390,38 @@ class PreviewVideoWriterStep(PipelineStep):
         rot_kpts = self._rotated_keypoints(data['keypoints'], n_true)
         if rot_kpts is not None:
             rot_kpts = rot_kpts[offset:]
+        t1 = _time.perf_counter()
 
-        arena = self.arena_view.render(chunk, masks=arena_masks,
-                                       keypoints=ref_kpts, boxes=boxes)
-        clean = self.clean_view.render(cropped, masks)
-        if rot_kpts is not None:
-            rot = self.rot_kpt_view.render(masks, rot_kpts)
-            left = self.stack_videos([clean, rot], orientation='vertical')
-        else:
-            left = clean
-        composite = self.stack_videos([left, arena], orientation='horizontal')
-        self.writer.write_frames(frame_idxs, composite)
+        # render + encode in blocks: a whole-chunk composite is ~0.7 GB and
+        # measurably slows the single-core encoder (cache/bandwidth churn
+        # next to the pipeline's other GB-scale arrays); blocks keep the
+        # working set ~70 MB
+        block = 128
+        for s in range(0, len(frame_idxs), block):
+            e = s + block
+            tb = _time.perf_counter()
+            arena = self.arena_view.render(
+                chunk[s:e], masks=None if arena_masks is None else arena_masks[s:e],
+                keypoints=ref_kpts[s:e],
+                boxes=None if boxes is None else boxes[s:e])
+            clean = self.clean_view.render(cropped[s:e], masks[s:e])
+            if rot_kpts is not None:
+                rot = self.rot_kpt_view.render(masks[s:e], rot_kpts[s:e])
+                left = self.stack_videos([clean, rot], orientation='vertical')
+            else:
+                left = clean
+            composite = self.stack_videos([left, arena],
+                                          orientation='horizontal')
+            tr = _time.perf_counter()
+            self.writer.write_frames(frame_idxs[s:e], composite)
+            te = _time.perf_counter()
+            self.sub_times['render'] += tr - tb
+            self.sub_times['encode'] += te - tr
+        self.sub_times['marshal'] += t1 - t0
         return None
 
     def finalize(self):
         self.writer.close()
+        logging.info('[Preview Video] sub-stage busy: %s',
+                     {k: round(v, 2) for k, v in self.sub_times.items()},
+                     extra={'nostream': True})
