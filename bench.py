@@ -151,6 +151,9 @@ def measure_transfer_ceilings(frame_shape, nframes=1000, reps=3):
 def main():
     import tempfile
     import logging
+    from moseq2_detectron_extract_tpu.utils.compile_cache import \
+        enable_compilation_cache
+    enable_compilation_cache()  # repeat runs skip the multi-minute jit compile
     from moseq2_detectron_extract_tpu.io.util import setup_logging
     setup_logging(level=logging.INFO)   # stage timings reach per-run log files
     logging.getLogger().handlers[0].setLevel(logging.WARNING)  # quiet console
@@ -190,8 +193,10 @@ def main():
     work = tempfile.mkdtemp(prefix='bench_')
     bground = make_background()
 
-    # warmup session: identical geometry -> identical compiled shapes
-    warm_path = write_session(os.path.join(work, 'warm'), max(batch_size * 4, 200))
+    # warmup session: identical geometry -> identical compiled shapes. One
+    # chunk is enough — every chunk shares one compiled shape (pad_chunks).
+    warm_frames = int(os.environ.get('BENCH_WARM_FRAMES', 200))
+    warm_path = write_session(os.path.join(work, 'warm'), warm_frames)
     run_extract(warm_path, predictor, os.path.join(work, 'warm_out'), bground)
 
     main_path = write_session(os.path.join(work, 'main'), nframes)
@@ -201,8 +206,28 @@ def main():
     elapsed = time.time() - t0
     fps = n / elapsed
 
-    # attribution: the e2e number above is tunnel-bound in this sandbox; the
-    # extras below separate model compute from transfer ceilings per stage
+    # headline FIRST — the driver's capture window must always see this line
+    # even if the attribution extras below run long (the reference always
+    # prints its fps summary: m2de/extract.py:135-137)
+    headline = {
+        'metric': 'extract_throughput',
+        'value': round(fps, 2),
+        'unit': 'frames/sec/chip',
+        'vs_baseline': round(fps / BASELINE_FPS, 4),
+        'stage_busy_s': {k: round(v['busy_s'], 2)
+                         for k, v in stage_stats.items()},
+        'elapsed_s': round(elapsed, 2),
+        'nframes': n,
+        'weights': weights_used,
+    }
+    print(json.dumps(headline), flush=True)
+
+    if os.environ.get('BENCH_NO_EXTRAS'):
+        return
+
+    # attribution extras: the e2e number above is tunnel-bound in this
+    # sandbox; these separate model compute from transfer ceilings. Printed
+    # as a second, superset JSON line — either line parses standalone.
     from moseq2_detectron_extract_tpu.ops.preprocess import bbox_from_roi
     bbox = bbox_from_roi(session.roi)
     frame_shape = (bbox[1][0] - bbox[0][0], bbox[1][1] - bbox[0][1])
@@ -211,20 +236,13 @@ def main():
     ceilings = measure_transfer_ceilings(frame_shape)
 
     print(json.dumps({
-        'metric': 'extract_throughput',
-        'value': round(fps, 2),
-        'unit': 'frames/sec/chip',
-        'vs_baseline': round(fps / BASELINE_FPS, 4),
+        **headline,
         'device_infer_fps': round(device_fps, 2),
         'h2d_ceiling_fps': round(ceilings['h2d_fps'], 2),
         'h2d_mb_s': round(ceilings['h2d_mb_s'], 2),
         'd2h_ceiling_fps': round(ceilings['d2h_fps'], 2),
         'd2h_mb_s': round(ceilings['d2h_mb_s'], 2),
-        'stage_busy_s': {k: v['busy_s'] for k, v in stage_stats.items()},
-        'elapsed_s': round(elapsed, 2),
-        'nframes': n,
-        'weights': weights_used,
-    }))
+    }), flush=True)
 
 
 if __name__ == '__main__':

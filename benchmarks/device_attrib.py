@@ -1,0 +1,162 @@
+'''Per-stage attribution of the inference device program.
+
+Times cumulative prefixes of the Mask+Keypoint R-CNN forward (preprocess,
+backbone+FPN, RPN head, proposal NMS, box stage, mask stage, keypoint stage,
+full predictor step) on the real chip; stage cost = delta between successive
+prefixes. Also prints XLA ``cost_analysis`` FLOPs and the implied MFU.
+
+Usage: python benchmarks/device_attrib.py [--batch 64] [--frame 404]
+Writes a markdown table to stdout and benchmarks/DEVICE_ATTRIB.md.
+'''
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def timed(fn, *args, reps=10):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--batch', type=int, default=64)
+    parser.add_argument('--frame', type=int, default=404,
+                        help='square input frame size (ROI bbox side)')
+    parser.add_argument('--dets', type=int, default=1)
+    parser.add_argument('--reps', type=int, default=10)
+    args = parser.parse_args()
+
+    from moseq2_detectron_extract_tpu.utils.compile_cache import \
+        enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    from moseq2_detectron_extract_tpu.models.config import ModelConfig
+    from moseq2_detectron_extract_tpu.models.predictor import Predictor
+    from moseq2_detectron_extract_tpu.models.rcnn import MaskKeypointRCNN
+
+    cfg = ModelConfig(test_detections_per_image=args.dets)
+    model = MaskKeypointRCNN(cfg)
+    b = args.batch
+    canvas = cfg.image_size
+    images = jnp.asarray(np.random.default_rng(0).normal(
+        0, 1, (b, canvas, canvas, 3)).astype('float32'))
+    image_sizes = jnp.tile(jnp.asarray([[240.0, 240.0]], jnp.float32), (b, 1))
+    params = model.init(jax.random.PRNGKey(0), images[:1],
+                        method=MaskKeypointRCNN.init_params)
+
+    # cumulative prefixes of the inference forward; each returns a small
+    # reduction so D2H cost does not pollute the timing
+    def pfx_backbone(self, images, image_sizes):
+        feats = self._features(images)
+        return [jnp.sum(f.astype(jnp.float32)) for f in feats]
+
+    def pfx_rpn_head(self, images, image_sizes):
+        feats = self._features(images)
+        logits, deltas = self.rpn_head(feats)
+        return ([jnp.sum(l.astype(jnp.float32)) for l in logits]
+                + [jnp.sum(d.astype(jnp.float32)) for d in deltas])
+
+    def pfx_proposals(self, images, image_sizes):
+        feats = self._features(images)
+        boxes, scores, valid, _ = self._proposals(feats, image_sizes, False)
+        return jnp.sum(boxes), jnp.sum(scores)
+
+    def pfx_box_pool(self, images, image_sizes):
+        feats = self._features(images)
+        boxes, scores, valid, _ = self._proposals(feats, image_sizes, False)
+        pooled = self._pool(feats, boxes, self.cfg.box_pooler_resolution)
+        return jnp.sum(pooled)
+
+    def full(self, images, image_sizes):
+        return self.inference(images, image_sizes)
+
+    rows = []
+    prev = 0.0
+
+    def run(name, method):
+        nonlocal prev
+        fn = jax.jit(lambda p, x, s: model.apply(p, x, s, method=method))
+        dt = timed(fn, params, images, image_sizes, reps=args.reps)
+        rows.append((name, dt, dt - prev))
+        prev = dt
+        return fn
+
+    run('backbone+fpn', pfx_backbone)
+    run('+rpn_head', pfx_rpn_head)
+    run('+proposal_nms', pfx_proposals)
+    run('+box_roialign', pfx_box_pool)
+    fn_full = run('full_inference', full)
+
+    # full predictor step (preprocess resize/normalize + postprocess paste)
+    pred = Predictor(cfg, params, batch_size=b, score_threshold=0.0)
+    frames = jnp.asarray(np.random.default_rng(1).integers(
+        0, 255, (b, args.frame, args.frame), dtype=np.uint8))
+    dt = timed(lambda f: pred._step(f, (args.frame, args.frame)), frames,
+               reps=args.reps)
+    rows.append(('predictor_step (pre+post)', dt, dt - prev))
+
+    # FLOPs / MFU from XLA cost analysis of the full inference program
+    lowered = jax.jit(
+        lambda p, x, s: model.apply(p, x, s, method=full)).lower(
+            params, images, image_sizes)
+    try:
+        ca = lowered.compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get('flops', float('nan')))
+        bytes_acc = float(ca.get('bytes accessed', float('nan')))
+    except Exception as exc:  # noqa: BLE001
+        flops, bytes_acc = float('nan'), float('nan')
+        print(f'cost_analysis unavailable: {exc}', file=sys.stderr)
+
+    full_dt = rows[-2][1]
+    step_dt = rows[-1][1]
+    peak = 197e12  # v5e bf16 peak FLOP/s
+    lines = [
+        '# Device-program attribution',
+        '',
+        f'batch={b} frame={args.frame} canvas={canvas} '
+        f'proposals={cfg.rpn_post_nms_topk_test} dets={args.dets} '
+        f'backend={jax.default_backend()}',
+        '',
+        '| stage (cumulative) | total s | stage delta s | stage fps |',
+        '|---|---|---|---|',
+    ]
+    for name, total, delta in rows:
+        fps = b / delta if delta > 1e-9 else float('inf')
+        lines.append(f'| {name} | {total:.4f} | {delta:.4f} | {fps:.0f} |')
+    lines += [
+        '',
+        f'- full-inference fps (no pre/post): **{b / full_dt:.1f}**',
+        f'- predictor-step fps: **{b / step_dt:.1f}**',
+        f'- XLA flops (batch): {flops:.3e} ({flops / b / 1e9:.2f} GF/frame)',
+        f'- bytes accessed: {bytes_acc:.3e}',
+        f'- MFU at full-inference time: {flops / full_dt / peak * 100:.2f}% '
+        f'of {peak / 1e12:.0f} TF/s',
+        f'- HBM BW implied: {bytes_acc / full_dt / 1e9:.1f} GB/s',
+    ]
+    report = '\n'.join(lines)
+    print(report)
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       'DEVICE_ATTRIB.md')
+    with open(out, 'w', encoding='utf-8') as fh:
+        fh.write(report + '\n')
+    print(f'\nwritten to {out}')
+
+
+if __name__ == '__main__':
+    main()

@@ -25,6 +25,9 @@ def cli():
     if os.environ.get('MOSEQ_DETECTRON_PROFILE'):
         from moseq2_detectron_extract_tpu.utils.profiling import enable_profiling
         enable_profiling()
+    from moseq2_detectron_extract_tpu.utils.compile_cache import \
+        enable_compilation_cache
+    enable_compilation_cache()
 
 
 # ---------------------------------------------------------------------------

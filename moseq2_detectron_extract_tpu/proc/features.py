@@ -255,6 +255,33 @@ def instances_to_features(masks: np.ndarray, keypoints: np.ndarray,
         if not angle_tracker.is_initialized:
             angle_tracker.initialize([angles])
 
+        if not debug:
+            # production path: the whole per-frame sample -> intervene ->
+            # filter_update recurrence runs as ONE jitted lax.scan (f64 CPU)
+            # instead of N sequential Python iterations
+            # (m2de/proc/proc.py:769-818; see kalman.angle_intervention_filter)
+            from moseq2_detectron_extract_tpu.proc.kalman import \
+                angle_intervention_filter
+            item = angle_tracker.items[0]
+            out_angles, flip_deltas, last_mean, last_cov = \
+                angle_intervention_filter(
+                    angle_tracker.params, angle_tracker.last_mean,
+                    angle_tracker.last_covar, angles, kpt_alignment_scores,
+                    order=item.order)
+            angle_tracker.last_mean = np.asarray(last_mean)
+            angle_tracker.last_covar = np.asarray(last_cov)
+            angles = np.asarray(out_angles)
+            flips = np.logical_xor(flips, np.asarray(flip_deltas))
+            features['orientation'] = np.array(angles)
+            return {
+                'cleaned_frames': cleaned_frames,
+                'masks': feat_masks,
+                'features': features,
+                'flips': flips,
+                'keypoints': keypoints,
+                'num_instances': np.asarray(num_instances),
+            }
+
         for i in range(angles.shape[0]):
             p_next_angle, = angle_tracker.sample(1)
             rel_angle_dist = float(np.asarray(

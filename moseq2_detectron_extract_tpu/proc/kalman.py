@@ -370,6 +370,108 @@ def kalman_smooth_scan(params: KalmanParams, observations, missing):
                          'pred_means': p_means, 'pred_covs': p_covs}}
 
 
+def _angle_scan_filter():
+    '''Build (once) the jitted angle-intervention scan: the per-frame
+    sample -> intervene -> filter_update recurrence of
+    m2de/proc/proc.py:769-818 as ONE ``lax.scan`` program (f64, CPU backend).
+
+    The observation is the (sin, cos) pair of the angle tracker, so the 2x2
+    innovation system is inverted analytically — no LAPACK dependency, which
+    keeps this backend available on plugin jax builds where
+    ``jnp.linalg.solve`` is not registered for CPU.
+    '''
+    import jax
+    import jax.numpy as jnp
+
+    def run(A, C, Q, R, mean0, cov0, angles, scores, order,
+            align_thresh, dev_thresh):
+        def step(carry, inp):
+            mean, cov = carry
+            angle, score = inp
+
+            # sample(1): predicted next angle from the transition alone
+            pred_state = A @ mean
+            p_next = jnp.rad2deg(jnp.arctan2(pred_state[0], pred_state[order]))
+            p_next = jnp.where(p_next < 0, p_next + 360.0, p_next) % 360.0
+
+            # smallest signed difference angle - p_next (proc/angles.py)
+            diff = (angle - p_next) % 360.0
+            rel = jnp.where(diff > 180.0, diff - 360.0, diff)
+
+            low_align = score < align_thresh          # NaN -> False
+            big_dev = jnp.abs(rel) > dev_thresh       # NaN -> False
+            flipped = (angle + 180.0) % 360.0
+            angle_out = jnp.where(low_align, p_next,
+                                  jnp.where(big_dev, flipped, angle))
+            flip_delta = jnp.logical_and(jnp.logical_not(low_align), big_dev)
+
+            # filter_update(angle_out): predict + 2D measurement update
+            rad = jnp.deg2rad(angle_out)
+            obs = jnp.stack([jnp.sin(rad), jnp.cos(rad)])
+            missing = jnp.logical_not(jnp.all(jnp.isfinite(obs)))
+            obs = jnp.nan_to_num(obs)
+
+            pred_cov = A @ cov @ A.T + Q
+            pred_cov = (pred_cov + pred_cov.T) / 2
+            innov = obs - C @ pred_state
+            S = C @ pred_cov @ C.T + R                      # (2, 2)
+            det = S[0, 0] * S[1, 1] - S[0, 1] * S[1, 0]
+            S_inv = jnp.array([[S[1, 1], -S[0, 1]],
+                               [-S[1, 0], S[0, 0]]]) / det
+            PCt = pred_cov @ C.T                            # (S, 2)
+            K = PCt @ S_inv
+            upd_mean = pred_state + K @ innov
+            upd_cov = pred_cov - K @ C @ pred_cov
+            upd_cov = (upd_cov + upd_cov.T) / 2
+
+            new_mean = jnp.where(missing, pred_state, upd_mean)
+            new_cov = jnp.where(missing, pred_cov, upd_cov)
+            return (new_mean, new_cov), (angle_out, flip_delta)
+
+        (mean, cov), (out_angles, flip_deltas) = jax.lax.scan(
+            step, (mean0, cov0), (angles, scores))
+        return out_angles, flip_deltas, mean, cov
+
+    return jax.jit(run, static_argnames=('order',))
+
+
+_ANGLE_SCAN = None
+
+
+def angle_intervention_filter(params: KalmanParams, mean0, cov0,
+                              angles, align_scores, order: int = 3,
+                              align_thresh: float = 0.4,
+                              dev_thresh: float = 140.0):
+    '''Vectorized angle-intervention loop (m2de/proc/proc.py:769-818).
+
+    For each frame: 1-step-ahead prediction from the angle tracker; if the
+    keypoint alignment score is below ``align_thresh`` the angle defers to
+    the prediction; else if the predicted-vs-observed deviation exceeds
+    ``dev_thresh`` degrees the angle flips 180; the (possibly corrected)
+    angle then drives a streaming filter update.
+
+    Returns (angles_out (T,), flip_deltas bool (T,), last_mean, last_cov).
+    Exactly matches the per-frame Python loop (tests/test_features.py).
+    '''
+    global _ANGLE_SCAN
+    import jax
+    cpu = jax.devices('cpu')[0]
+    with jax.enable_x64(True), jax.default_device(cpu):
+        if _ANGLE_SCAN is None:
+            _ANGLE_SCAN = _angle_scan_filter()
+        out = _ANGLE_SCAN(
+            np.asarray(params.transition, np.float64),
+            np.asarray(params.observation, np.float64),
+            np.asarray(params.transition_cov, np.float64),
+            np.asarray(params.observation_cov, np.float64),
+            np.asarray(mean0, np.float64), np.asarray(cov0, np.float64),
+            np.asarray(angles, np.float64),
+            np.asarray(align_scores, np.float64),
+            order, align_thresh, dev_thresh)
+        out = jax.device_get(out)
+    return out
+
+
 def _em_step(params: KalmanParams, observations, missing):
     sm = kalman_smooth(params, observations, missing)
     mu, V, lag = sm['means'], sm['covs'], sm['lag_one_covs']

@@ -278,6 +278,99 @@ class TestInstancesToFeatures:
         assert np.isfinite(out['features']['centroid']).all()
 
 
+class TestAngleInterventionScan:
+    '''The jitted lax.scan angle-intervention path must exactly reproduce the
+    per-frame Python loop (kept as the debug path) — including tracker state
+    carried across chunks (m2de/proc/proc.py:769-818).'''
+
+    def _chunk(self, n=60, seed=3):
+        rng = np.random.default_rng(seed)
+        h, w = 128, 160
+        raw = np.zeros((n, h, w), dtype='uint8')
+        masks = np.zeros((n, h, w), dtype='uint8')
+        kpts = np.zeros((n, 8, 3))
+        import cv2
+        for i in range(n):
+            cx, cy = 60 + i % 30, 55
+            ang = (i * 7) % 360
+            cv2.ellipse(raw[i], (cx, cy), (34, 17), ang, 0, 360, 40, -1)
+            cv2.ellipse(masks[i], (cx, cy), (36, 19), ang, 0, 360, 1, -1)
+            base = np.array([[30, 0], [24, 7], [24, -7], [18, 0],
+                             [-12, 7], [-12, -7], [-20, 0], [-32, 0]],
+                            dtype=float)
+            if i % 11 == 0:
+                base = -base              # flipped keypoints -> big deviation
+            if i % 7 == 0:
+                rng.shuffle(base)         # scrambled -> low alignment score
+            rad = np.deg2rad(ang)
+            rot = np.array([[np.cos(rad), -np.sin(rad)],
+                            [np.sin(rad), np.cos(rad)]])
+            kpts[i, :, :2] = base @ rot.T + [cx, cy]
+            kpts[i, :, 2] = 0.95
+        return raw, masks, kpts
+
+    def _trackers(self):
+        point = KalmanTracker([KalmanTrackerPoint2D(order=3),
+                               KalmanTrackerNPoints2D(8, order=3)])
+        angle = KalmanTracker([KalmanTrackerAngle(order=3, degrees=True)])
+        return point, angle
+
+    def test_scan_matches_python_loop(self, tmp_path):
+        raw, masks, kpts = self._chunk()
+        ones = np.ones(len(raw))
+
+        pt_a, ang_a = self._trackers()
+        out_scan = instances_to_features(masks, kpts.copy(), ones, raw,
+                                         pt_a, ang_a, debug=False)
+        pt_b, ang_b = self._trackers()
+        out_loop = instances_to_features(masks, kpts.copy(), ones, raw,
+                                         pt_b, ang_b, debug=True,
+                                         debug_dir=str(tmp_path))
+
+        np.testing.assert_allclose(out_scan['features']['orientation'],
+                                   out_loop['features']['orientation'],
+                                   rtol=0, atol=1e-8)
+        np.testing.assert_array_equal(out_scan['flips'], out_loop['flips'])
+        np.testing.assert_allclose(ang_a.last_mean, ang_b.last_mean, atol=1e-9)
+        np.testing.assert_allclose(ang_a.last_covar, ang_b.last_covar,
+                                   atol=1e-9)
+        # interventions actually fired in this synthetic chunk
+        dbg = (tmp_path / 'flip_info.tsv').read_text().splitlines()
+        assert any('flip 180' in l or 'defer to sample' in l for l in dbg)
+
+    def test_scan_carries_state_across_chunks(self, tmp_path):
+        raw, masks, kpts = self._chunk(n=40)
+        ones = np.ones(20)
+
+        pt_a, ang_a = self._trackers()
+        o1 = instances_to_features(masks[:20], kpts[:20].copy(), ones,
+                                   raw[:20], pt_a, ang_a, debug=False)
+        o2 = instances_to_features(masks[20:], kpts[20:].copy(), ones,
+                                   raw[20:], pt_a, ang_a, debug=False)
+        pt_b, ang_b = self._trackers()
+        l1 = instances_to_features(masks[:20], kpts[:20].copy(), ones,
+                                   raw[:20], pt_b, ang_b, debug=True,
+                                   debug_dir=str(tmp_path))
+        l2 = instances_to_features(masks[20:], kpts[20:].copy(), ones,
+                                   raw[20:], pt_b, ang_b, debug=True,
+                                   debug_dir=str(tmp_path))
+        np.testing.assert_allclose(
+            np.concatenate([o1['features']['orientation'],
+                            o2['features']['orientation']]),
+            np.concatenate([l1['features']['orientation'],
+                            l2['features']['orientation']]), atol=1e-8)
+
+    def test_nan_frames_defer_to_prediction_path(self):
+        raw, masks, kpts = self._chunk(n=30)
+        kpts[10:13] = np.nan
+        masks[10:13] = 0
+        pt, ang = self._trackers()
+        out = instances_to_features(masks, kpts, np.ones(30), raw,
+                                    pt, ang, debug=False)
+        assert out['features']['orientation'].shape == (30,)
+        assert np.isfinite(ang.last_mean).all()
+
+
 class TestNativeKalman:
     def test_native_matches_numpy(self, rng):
         from moseq2_detectron_extract_tpu.native import load_kalman_lib
