@@ -243,7 +243,7 @@ def evaluate_predictions(items: Sequence[DataItem],
     sigmas = np.asarray(oks_sigmas, float)
     box_sims, mask_sims, kp_sims, scores_list = [], [], [], []
     gt_box_areas, gt_mask_areas, det_box_areas, det_mask_areas = [], [], [], []
-    kp_gt_areas = []
+    kp_gt_areas, det_kp_areas = [], []
     for item, pred in zip(items, predictions):
         gt_boxes, gt_masks, gt_kpts = _gt_from_item(item)
         valid = np.asarray(pred['valid'], bool)
@@ -263,15 +263,23 @@ def evaluate_predictions(items: Sequence[DataItem],
             np.prod(np.clip(p_boxes[:, 2:] - p_boxes[:, :2], 0, None), axis=1)
             if len(p_boxes) else np.zeros(0))
         det_mask_areas.append(np.asarray([m.sum() for m in p_masks], float))
+        # pycocotools computeOks scales by gt['area'] — the SEGMENTATION
+        # area, not the box area (cocoeval.py computeOks: gt['area'])
         if gt_kpts.size:
-            kp_scale = np.prod(np.clip(gt_boxes[:, 2:] - gt_boxes[:, :2], 0,
-                                       None), axis=1)
             kp_sims.append(_oks_matrix(np.asarray(pred['keypoints'])[valid],
-                                       gt_kpts, kp_scale, sigmas))
+                                       gt_kpts, g_area, sigmas))
             kp_gt_areas.append(g_area)
         else:
             kp_sims.append(np.zeros((len(p_scores), 0)))
             kp_gt_areas.append(np.zeros(0))
+        # keypoint-task detection areas: pycocotools loadRes derives them
+        # from the keypoint-extent bbox, not the predicted box
+        pk = np.asarray(pred['keypoints'])[valid]
+        if pk.size:
+            kx, ky = pk[:, :, 0], pk[:, :, 1]
+            det_kp_areas.append((kx.max(1) - kx.min(1)) * (ky.max(1) - ky.min(1)))
+        else:
+            det_kp_areas.append(np.zeros(0))
 
     return {
         'bbox': _evaluate_task(box_sims, scores_list, gt_box_areas,
@@ -281,7 +289,7 @@ def evaluate_predictions(items: Sequence[DataItem],
                                det_mask_areas, max_dets,
                                ('all', 'small', 'medium', 'large')),
         'keypoints': _evaluate_task(kp_sims, scores_list, kp_gt_areas,
-                                    det_box_areas, kp_max_dets,
+                                    det_kp_areas, kp_max_dets,
                                     ('all', 'medium', 'large')),
     }
 
@@ -300,6 +308,13 @@ def evaluate_model(model_dir: str, items: Sequence[DataItem],
     else:
         predictor = Predictor.from_model_dir(model_dir, checkpoint=checkpoint,
                                              batch_size=batch_size)
+    if predictor.cfg.rpn_post_nms_topk_test < 1000:
+        logging.info(
+            'eval config uses rpn_post_nms_topk_test=%d (a TPU perf default; '
+            'Detectron2/reference uses 1000) — dense multi-instance scenes '
+            'may lose proposal recall vs reference AP; set 1000 in the model '
+            'config for strict parity numbers',
+            predictor.cfg.rpn_post_nms_topk_test)
 
     predictions = []
     data_time = compute_time = 0.0

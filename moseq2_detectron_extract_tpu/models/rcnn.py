@@ -193,12 +193,10 @@ class MaskKeypointRCNN(nn.Module):
               pool_dtype=jnp.float32):
         '''Batched multilevel ROIAlign: boxes (B, K, 4) -> (B, K, r, r, C) f32.
 
-        ``chunk`` bounds the ROIs materialized per lax.map step. The training
-        path keeps 128 (remat'd backward temps); the inference box stage
-        passes a much larger chunk — 64 images x 1000 proposals at chunk 128
-        is 500 *sequential* tiny device steps, pure dispatch latency (~0.6 s
-        per batch measured on v5e). ``pool_dtype=bfloat16`` halves the
-        bilinear-gather HBM traffic; the result is cast back to f32.
+        ``chunk`` bounds the ROIs materialized per lax.map step; every call
+        site uses the defaults (chunk=128 was the measured v5e sweet spot —
+        larger chunks and bf16 gathers were both slower, see the comment in
+        ``inference``). The knobs remain for experimentation only.
         '''
         p2_p5 = tuple(f.astype(pool_dtype) for f in fpn_feats[:4])
         return batched_multilevel_roi_align(

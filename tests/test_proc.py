@@ -422,3 +422,23 @@ class TestNativeKalman:
             np.testing.assert_allclose(s_np['filtered'][k],
                                        s_scan['filtered'][k], atol=1e-8,
                                        err_msg=f'filtered/{k}')
+
+
+class TestStats:
+    def test_exclude_outliers_family(self):
+        from moseq2_detectron_extract_tpu.stats import (
+            exclude_outliers, is_outlier, max_exclude_outliers,
+            min_exclude_outliers)
+        data = np.array([1.0, 1.1, 0.9, 1.05, 0.95, 50.0, -40.0])
+        mask = is_outlier(data)
+        assert mask[5] and mask[6] and not mask[:5].any()
+        kept = exclude_outliers(data)
+        assert kept.max() <= 1.1 and kept.min() >= 0.9
+        assert max_exclude_outliers(data) == pytest.approx(1.1)
+        assert min_exclude_outliers(data) == pytest.approx(0.9)
+
+    def test_is_outlier_nan_tolerant(self):
+        from moseq2_detectron_extract_tpu.stats import is_outlier
+        data = np.array([1.0, np.nan, 1.1, 0.9, 99.0])
+        mask = is_outlier(data)
+        assert mask[4] and not mask[0]
