@@ -20,14 +20,54 @@ import numpy as np
 
 
 def timed(fn, *args, reps=10):
+    '''Wall time per rep with a forced D2H sync of one scalar per rep — on
+    the tunneled 'axon' backend, block_until_ready alone does NOT reliably
+    wait for execution (measured: backbone "runs" below its speed-of-light
+    floor), so every rep round-trips a scalar instead.'''
     import jax
-    out = fn(*args)
-    jax.block_until_ready(out)  # compile + warmup
+    import jax.numpy as jnp
+
+    def scalarize(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return np.asarray(jnp.ravel(leaf)[0])
+
+    scalarize(fn(*args))  # compile + warmup
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        scalarize(fn(*args))
     return (time.perf_counter() - t0) / reps
+
+
+def timed_device_loop(program, params, images, sizes, inner=8, lo=1):
+    '''Pure device time per call, immune to tunnel RTT and async-dispatch
+    artifacts: run ``program`` n times INSIDE one jitted fori_loop (each
+    iteration depends on the previous via an epsilon input perturbation, so
+    XLA cannot hoist or dedupe), at n=lo and n=inner; the slope
+    (t_hi - t_lo) / (inner - lo) cancels every fixed cost (RTT, dispatch,
+    D2H of the result scalar) exactly.'''
+    import functools
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=('n',))
+    def loop(p, x, s, n):
+        def body(i, carry):
+            out = program(p, x + carry * 1e-30, s)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return jnp.ravel(leaf.astype(jnp.float32))[0]
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    def one(n):
+        np.asarray(loop(params, images, sizes, n))  # compile + warmup
+        best = float('inf')
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(loop(params, images, sizes, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = one(lo), one(inner)
+    return max(t_hi - t_lo, 1e-9) / (inner - lo)
 
 
 def main():
@@ -90,24 +130,27 @@ def main():
 
     def run(name, method):
         nonlocal prev
-        fn = jax.jit(lambda p, x, s: model.apply(p, x, s, method=method))
-        dt = timed(fn, params, images, image_sizes, reps=args.reps)
+        program = lambda p, x, s: model.apply(p, x, s, method=method)  # noqa: E731
+        dt = timed_device_loop(program, params, images, image_sizes,
+                               inner=args.reps)
         rows.append((name, dt, dt - prev))
         prev = dt
-        return fn
 
     run('backbone+fpn', pfx_backbone)
     run('+rpn_head', pfx_rpn_head)
     run('+proposal_nms', pfx_proposals)
     run('+box_roialign', pfx_box_pool)
-    fn_full = run('full_inference', full)
+    run('full_inference', full)
 
-    # full predictor step (preprocess resize/normalize + postprocess paste)
+    # full predictor step (preprocess resize/normalize + postprocess paste);
+    # frames vary per inner iteration through the same epsilon chaining
     pred = Predictor(cfg, params, batch_size=b, score_threshold=0.0)
     frames = jnp.asarray(np.random.default_rng(1).integers(
         0, 255, (b, args.frame, args.frame), dtype=np.uint8))
-    dt = timed(lambda f: pred._step(f, (args.frame, args.frame)), frames,
-               reps=args.reps)
+    dt = timed_device_loop(
+        lambda p, x, s: pred._step_impl(x.astype(jnp.uint8),
+                                        (args.frame, args.frame)),
+        params, frames, image_sizes, inner=args.reps)
     rows.append(('predictor_step (pre+post)', dt, dt - prev))
 
     # FLOPs / MFU from XLA cost analysis of the full inference program
