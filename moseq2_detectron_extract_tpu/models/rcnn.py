@@ -26,6 +26,7 @@ from moseq2_detectron_extract_tpu.models.rpn import (RPNHead, rpn_losses,
                                                      select_proposals, _bce_with_logits,
                                                      _smooth_l1)
 from moseq2_detectron_extract_tpu.ops.nms import batched_nms_keep_mask
+from moseq2_detectron_extract_tpu.ops.pallas_roi_align import pallas_separable_roi_align
 from moseq2_detectron_extract_tpu.ops.roi_align import (batched_multilevel_roi_align,
                                                         crop_resize_mask)
 
@@ -129,10 +130,8 @@ class MaskKeypointRCNN(nn.Module):
         fpn_feats = self._features(images)
         proposals, _, prop_valid, _ = self._proposals(fpn_feats, image_sizes, train=False)
 
-        # box head over all proposals. Measured on v5e: the ROIAlign gather
-        # is HBM-bound and chunk=128 is the sweet spot (larger chunks and
-        # bf16 gathers are both slower); the honest lever is proposal count
-        # (cfg.rpn_post_nms_topk_test).
+        # box head over all proposals (pooling = fused Pallas separable
+        # ROIAlign, see _pool)
         p = proposals.shape[1]
         pooled = self._pool(fpn_feats, proposals, cfg.box_pooler_resolution)
         cls_logits, box_deltas = self.box_head(pooled.reshape(b * p, *pooled.shape[2:]))
@@ -189,18 +188,21 @@ class MaskKeypointRCNN(nn.Module):
 
         return out
 
-    def _pool(self, fpn_feats, boxes, resolution: int, chunk: int = 128,
-              pool_dtype=jnp.float32):
+    def _pool(self, fpn_feats, boxes, resolution: int, train: bool = False):
         '''Batched multilevel ROIAlign: boxes (B, K, 4) -> (B, K, r, r, C) f32.
 
-        ``chunk`` bounds the ROIs materialized per lax.map step; every call
-        site uses the defaults (chunk=128 was the measured v5e sweet spot —
-        larger chunks and bf16 gathers were both slower, see the comment in
-        ``inference``). The knobs remain for experimentation only.
+        Inference uses the fused Pallas separable-matmul kernel on bf16
+        features (measured v5e at the 64x256-ROI box stage: 108 ms gather ->
+        25.5 ms; see ops/pallas_roi_align.py). Training keeps the f32
+        gather path: it is differentiable, remat-bounded, and its exact
+        numerics back the training regression tests.
         '''
-        p2_p5 = tuple(f.astype(pool_dtype) for f in fpn_feats[:4])
-        return batched_multilevel_roi_align(
-            p2_p5, boxes, resolution, chunk=chunk).astype(jnp.float32)
+        if train:
+            p2_p5 = tuple(f.astype(jnp.float32) for f in fpn_feats[:4])
+            return batched_multilevel_roi_align(
+                p2_p5, boxes, resolution, chunk=128).astype(jnp.float32)
+        p2_p5 = tuple(f.astype(jnp.bfloat16) for f in fpn_feats[:4])
+        return pallas_separable_roi_align(p2_p5, boxes, resolution)
 
     # --------------------------------------------------------------- training
     def losses(self, images, gt: Dict[str, jnp.ndarray], rng,
@@ -277,7 +279,7 @@ class MaskKeypointRCNN(nn.Module):
         s_gt_boxes = gt['boxes'][batch_idx, s_gt_idx]
 
         # ---- box head losses
-        pooled = self._pool(fpn_feats, s_boxes, cfg.box_pooler_resolution)
+        pooled = self._pool(fpn_feats, s_boxes, cfg.box_pooler_resolution, train=True)
         cls_logits, box_deltas = self.box_head(pooled.reshape(b * r, *pooled.shape[2:]))
         cls_logits = cls_logits.reshape(b, r, -1).astype(jnp.float32)
         box_deltas = box_deltas.reshape(b, r, 4).astype(jnp.float32)
@@ -297,7 +299,7 @@ class MaskKeypointRCNN(nn.Module):
         # ---- mask head loss (on positives only; heads run on all R rois,
         #      loss masked — static shapes beat dynamic gathers on TPU)
         if cfg.mask_on:
-            mask_pooled = self._pool(fpn_feats, s_boxes, cfg.mask_pooler_resolution)
+            mask_pooled = self._pool(fpn_feats, s_boxes, cfg.mask_pooler_resolution, train=True)
             mask_logits = self.mask_head(
                 mask_pooled.reshape(b * r, *mask_pooled.shape[2:]))[..., 0]
             mask_logits = mask_logits.reshape(b, r, cfg.mask_resolution,
@@ -318,7 +320,7 @@ class MaskKeypointRCNN(nn.Module):
 
         # ---- keypoint head loss
         if cfg.keypoint_on:
-            kp_pooled = self._pool(fpn_feats, s_boxes, cfg.keypoint_pooler_resolution)
+            kp_pooled = self._pool(fpn_feats, s_boxes, cfg.keypoint_pooler_resolution, train=True)
             kp_logits = self.keypoint_head(
                 kp_pooled.reshape(b * r, *kp_pooled.shape[2:]))
             hs = kp_logits.shape[1]

@@ -241,6 +241,154 @@ def _pool_from_flat(flat, boxes, image_offsets, level_offsets, heights, widths,
     return pooled.reshape((n_chunks * chunk, output_size, output_size, c))[:k]
 
 
+def _fold_interp_weights(coords, sizes, max_size: int, output_size: int,
+                         offsets=None):
+    '''Per-ROI folded interpolation weight matrices for separable ROIAlign.
+
+    ``coords`` (N, 2*out) are raw sample coordinates at 2x resolution in each
+    ROI's assigned-level units; ``sizes`` (N,) the level extent along this
+    axis. Builds the one-hot 2-tap bilinear rows for all 2*out samples, then
+    folds the 2x2 average pool by averaging adjacent sample pairs — the
+    result W (N, out, max_size) satisfies ``W @ f == avg-pooled bilinear
+    samples of f`` exactly (same clamping as the gather path above).
+
+    ``offsets`` (N,) optionally shifts tap columns into a stacked buffer
+    (levels concatenated along this axis), which makes FPN level selection
+    implicit: taps land only in the ROI's own level band, every other band
+    multiplies zeros.
+    '''
+    cs = jnp.clip(coords, 0.0, (sizes - 1).astype(jnp.float32)[:, None])
+    c0 = jnp.floor(cs)
+    frac = cs - c0
+    c0i = c0.astype(jnp.int32)
+    c1i = jnp.minimum(c0i + 1, sizes[:, None] - 1)
+    if offsets is not None:
+        c0i = c0i + offsets[:, None]
+        c1i = c1i + offsets[:, None]
+    iota = jnp.arange(max_size, dtype=jnp.int32)
+    w2 = ((c0i[..., None] == iota) * (1.0 - frac)[..., None]
+          + (c1i[..., None] == iota) * frac[..., None])    # (N, 2*out, max)
+    return 0.5 * (w2[:, 0::2] + w2[:, 1::2])               # (N, out, max)
+
+
+def _separable_inputs(features, boxes, output_size: int, min_level: int):
+    '''Shared front half of the separable ROIAlign: the H-stacked/W-padded
+    pyramid (B, sum_l H_l, Wmax*C) and the per-ROI folded weight matrices
+    Wy (B, K, out, sum_l H_l) (taps offset into the assigned level's row
+    band) and Wx (B, K, out, Wmax), in the feature dtype.'''
+    b, k = boxes.shape[:2]
+    c = features[0].shape[-1]
+    n_levels = len(features)
+    heights = [f.shape[1] for f in features]
+    widths = [f.shape[2] for f in features]
+    wmax = max(widths)
+    h_total = sum(heights)
+    dtype = features[0].dtype
+    out_sz = output_size
+
+    # stacked pyramid: levels along H, zero-padded along W
+    f_stack = jnp.concatenate(
+        [jnp.pad(f, ((0, 0), (0, 0), (0, wmax - f.shape[2]), (0, 0)))
+         for f in features], axis=1)                       # (B, Ht, Wmax, C)
+
+    flat_boxes = boxes.reshape(b * k, 4)
+    levels = assign_fpn_levels(flat_boxes, min_level=min_level,
+                               max_level=min_level + n_levels - 1)
+    level_idx = levels - min_level
+    stride_table = jnp.asarray(
+        [2.0 ** (min_level + i) for i in range(n_levels)], jnp.float32)
+    strides = stride_table[level_idx]
+    ys, xs = _roi_sample_coords(flat_boxes, out_sz, strides)  # (N, 2*out)
+
+    h_arr = jnp.asarray(heights, jnp.int32)
+    w_arr = jnp.asarray(widths, jnp.int32)
+    h_off = jnp.cumsum(h_arr) - h_arr                      # level row offsets
+
+    wy = _fold_interp_weights(ys, h_arr[level_idx], h_total, out_sz,
+                              offsets=h_off[level_idx])
+    wx = _fold_interp_weights(xs, w_arr[level_idx], wmax, out_sz)
+    return (f_stack.reshape(b, h_total, wmax * c),
+            wy.astype(dtype).reshape(b, k, out_sz, h_total),
+            wx.astype(dtype).reshape(b, k, out_sz, wmax))
+
+
+@functools.partial(jax.jit, static_argnames=('output_size', 'min_level',
+                                             'k_chunk', 'precision'))
+def separable_batched_roi_align(features: Sequence[jnp.ndarray],
+                                boxes: jnp.ndarray, output_size: int,
+                                min_level: int = 2, k_chunk: int = 32,
+                                precision=None):
+    '''Matmul-formulated multilevel ROIAlign: (B, K, 4) boxes over batched
+    FPN levels (B, H_l, W_l, C) -> (B, K, out, out, C), numerically matching
+    ``batched_multilevel_roi_align`` (ROIAlignV2, sampling_ratio=2).
+
+    TPU-native reformulation of Detectron2's CUDA ROIAlign
+    (reference wraps it via its box/mask/keypoint poolers,
+    /root/reference/moseq2_detectron_extract/model/config.py:30-56): instead
+    of gathering 4 taps per sample (HBM-bound — measured 110 ms for
+    64x256 ROIs on v5e), bilinear interpolation is expressed per ROI as two
+    small dense weight matrices Wy (out, H), Wx (out, W) with the 2x2
+    average pool folded in, so pooling is ``Wy @ F @ Wx^T`` — two batched
+    MXU matmuls.
+
+    Level selection is implicit: all levels are stacked along H (zero-padded
+    along W to the P2 width) into one (B, sum_l H_l, Wmax, C) buffer, and
+    each ROI's Wy taps are offset into its assigned level's row band. Rows
+    of other bands multiply zeros, so no level loop or masking exists at
+    all. Cost: stage-1 contracts K=sum_l H_l (~120 for a 256 canvas, one
+    well-aligned MXU pass) and the padded-W zeros only add ~33% FLOPs over
+    a per-level loop while removing 4 dispatches and all masks.
+
+    ``precision``: on TPU the default matmul precision runs f32 inputs as
+    bf16 MXU passes (~1e-2 abs error vs the gather path — fine for
+    inference, and the speed is the point). Pass
+    ``jax.lax.Precision.HIGHEST`` for f32-exact results (~3x matmul cost).
+    '''
+    b, k = boxes.shape[:2]
+    c = features[0].shape[-1]
+    dtype = features[0].dtype
+    out_sz = output_size
+    f_mat, wy, wx = _separable_inputs(features, boxes, out_sz, min_level)
+    h_total, wmax = wy.shape[-1], wx.shape[-1]
+
+    def pool_chunk(args):
+        cwy, cwx = args                    # (B, CK, out, Ht), (B, CK, out, Wmax)
+        ck = cwy.shape[1]
+        # stage 1: T[b, i*oy, w*c] = sum_h Wy[b, i, oy, h] * F[b, h, w*c]
+        t = jax.lax.dot_general(
+            cwy.reshape(b, ck * out_sz, h_total), f_mat,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=precision).astype(dtype)
+        t = t.reshape(b, ck, out_sz, wmax, c)
+        # stage 2: out[b, i, ox, oy, cc] = sum_w Wx[b, i, ox, w] * T[b, i, oy, w, cc]
+        r = jax.lax.dot_general(
+            cwx, t, (((3,), (3,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32,
+            precision=precision)
+        return jnp.swapaxes(r, 2, 3)       # -> (B, CK, oy, ox, C)
+
+    if k <= k_chunk:
+        return pool_chunk((wy, wx))
+
+    pad = (-k) % k_chunk
+    if pad:
+        wy = jnp.pad(wy, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        wx = jnp.pad(wx, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    nc = (k + pad) // k_chunk
+
+    def chunked(a):
+        a = a.reshape(b, nc, k_chunk, *a.shape[2:])
+        return jnp.swapaxes(a, 0, 1)       # (nc, B, CK, ...)
+
+    # checkpoint: the stage-2 backward otherwise saves every chunk's T
+    # stacked across lax.map iterations (see the remat note above)
+    pooled = jax.lax.map(jax.checkpoint(pool_chunk), (chunked(wy), chunked(wx)))
+    pooled = jnp.swapaxes(pooled, 0, 1).reshape(b, nc * k_chunk, out_sz,
+                                                out_sz, c)
+    return pooled[:, :k]
+
+
 def roi_align_level(feat, boxes, output_size: int, stride: float):
     '''ROIAlign of (K, 4) boxes (image coords) on a single (H, W, C) level.'''
     import math

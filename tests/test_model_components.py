@@ -14,9 +14,11 @@ from moseq2_detectron_extract_tpu.models.matcher import (match_anchors_to_gt,
                                                          subsample_labels)
 from moseq2_detectron_extract_tpu.ops.instances import gather_selected, nms_and_centers
 from moseq2_detectron_extract_tpu.ops.nms import nms_keep_mask
+from moseq2_detectron_extract_tpu.ops.pallas_roi_align import pallas_separable_roi_align
 from moseq2_detectron_extract_tpu.ops.roi_align import (batched_multilevel_roi_align,
                                                         crop_resize_mask,
-                                                        multilevel_roi_align)
+                                                        multilevel_roi_align,
+                                                        separable_batched_roi_align)
 
 
 def greedy_nms_oracle(boxes, scores, thresh):
@@ -167,6 +169,67 @@ class TestRoiAlign:
         assert out[0, 0].mean() == pytest.approx(0.0, abs=1e-5)   # level P2
         # sqrt(448^2) / 224 = 2 -> canonical level 4 + 1 = P5
         assert out[0, 1].mean() == pytest.approx(3.0, abs=1e-5)
+
+    def _random_pyramid(self, b=3, k=37, c=16, canvas=256, seed=0):
+        rng = np.random.default_rng(seed)
+        feats = tuple(jnp.asarray(rng.normal(0, 1, (
+            b, canvas // (4 * 2 ** l), canvas // (4 * 2 ** l), c)
+        ).astype('float32')) for l in range(4))
+        cx = rng.uniform(0, 250, (b, k))
+        cy = rng.uniform(0, 250, (b, k))
+        wh = rng.uniform(2, 300, (b, k, 2))
+        boxes = jnp.asarray(np.stack(
+            [cx - wh[..., 0] / 2, cy - wh[..., 1] / 2,
+             cx + wh[..., 0] / 2, cy + wh[..., 1] / 2], -1).astype('float32'))
+        return feats, boxes
+
+    def test_separable_matches_gather_exactly(self):
+        # the matmul formulation is algebraically identical to the gather
+        # path; at HIGHEST precision the results agree to f32 rounding
+        feats, boxes = self._random_pyramid()
+        ref = np.asarray(batched_multilevel_roi_align(feats, boxes, 7))
+        out = np.asarray(separable_batched_roi_align(
+            feats, boxes, 7, precision=jax.lax.Precision.HIGHEST))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_separable_chunked_and_degenerate(self):
+        feats, boxes = self._random_pyramid(k=19)
+        hp = jax.lax.Precision.HIGHEST
+        ref = np.asarray(batched_multilevel_roi_align(feats, boxes, 7))
+        out = np.asarray(separable_batched_roi_align(feats, boxes, 7,
+                                                     k_chunk=8, precision=hp))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+        zb = jnp.zeros((feats[0].shape[0], 4, 4))
+        np.testing.assert_allclose(
+            np.asarray(separable_batched_roi_align(feats, zb, 7, precision=hp)),
+            np.asarray(batched_multilevel_roi_align(feats, zb, 7)), atol=1e-5)
+
+    def test_separable_gradients_match_gather(self):
+        feats, boxes = self._random_pyramid(b=2, k=9)
+        hp = jax.lax.Precision.HIGHEST
+
+        def loss_g(bx, f0):
+            return jnp.sum(batched_multilevel_roi_align((f0,) + feats[1:], bx, 7) ** 2)
+
+        def loss_s(bx, f0):
+            return jnp.sum(separable_batched_roi_align(
+                (f0,) + feats[1:], bx, 7, k_chunk=4, precision=hp) ** 2)
+
+        gb1, gf1 = jax.grad(loss_g, argnums=(0, 1))(boxes, feats[0])
+        gb2, gf2 = jax.grad(loss_s, argnums=(0, 1))(boxes, feats[0])
+        np.testing.assert_allclose(np.asarray(gb2), np.asarray(gb1),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gf2), np.asarray(gf1),
+                                   rtol=1e-4, atol=1e-3)
+
+    def test_pallas_wrapper_matches(self):
+        # off-TPU the wrapper dispatches to the XLA separable formulation;
+        # on TPU it runs the fused kernel (bf16-matmul tolerance)
+        feats, boxes = self._random_pyramid(k=21)
+        ref = np.asarray(batched_multilevel_roi_align(feats, boxes, 7))
+        out = np.asarray(pallas_separable_roi_align(feats, boxes, 7))
+        tol = 5e-2 if jax.default_backend() == 'tpu' else 1e-2
+        np.testing.assert_allclose(out, ref, atol=tol)
 
     def test_crop_resize_mask(self):
         mask = np.zeros((32, 32), bool)
