@@ -222,19 +222,41 @@ def evaluate(annot_files, model_dir, checkpoint, replace_paths):
 
 
 @cli.command(name='compile-model', short_help='AOT-compile and export a model')
+@click.argument('eval-annot-files', nargs=-1, type=click.Path(exists=True))
 @click.option('--model-dir', required=True, type=click.Path(exists=True))
 @click.option('--checkpoint', default='last')
 @click.option('--output', default=None, type=click.Path(), help='Output path for the exported model archive')
 @click.option('--batch-size', default=10, type=int)
 @click.option('--image-size', default=None, type=OptionalParamType(click.INT))
-def compile_model(model_dir, checkpoint, output, batch_size, image_size):
+@click.option('--replace-paths', default=None, multiple=True)
+def compile_model(eval_annot_files, model_dir, checkpoint, output, batch_size,
+                  image_size, replace_paths):
     '''Serialize a deployable model: config + params + AOT-lowered StableHLO
-    (the TPU analog of TorchScript export, m2de/model/deploy.py:24-123).'''
-    from moseq2_detectron_extract_tpu.models.deploy import export_model
+    (the TPU analog of TorchScript export, m2de/model/deploy.py:24-123).
+
+    Any EVAL_ANNOT_FILES given are evaluated THROUGH the exported artifact
+    after export — the reference's optional post-export COCO eval
+    (m2de/model/deploy.py:24-123, m2de/cli.py:664-676).
+    '''
+    from moseq2_detectron_extract_tpu.models.deploy import (export_model,
+                                                            load_exported_model)
     setup_logging()
     out = export_model(model_dir, checkpoint=checkpoint, output=output,
                        batch_size=batch_size, image_size=image_size)
     logging.info('Exported model to %s', out)
+    if eval_annot_files:
+        from moseq2_detectron_extract_tpu.io.annot import (
+            dataset_catalog_get, load_annotations_helper)
+        from moseq2_detectron_extract_tpu.models.eval import evaluate_model
+        replace = [tuple(rp.split(':', 1)) for rp in replace_paths] \
+            if replace_paths else None
+        load_annotations_helper(eval_annot_files, 'RGB', replace_paths=replace,
+                                register=True)
+        predictor = load_exported_model(out)
+        results = evaluate_model(out, dataset_catalog_get('moseq_test'),
+                                 predictor=predictor)
+        for task, metrics in results.items():
+            logging.info('post-export %s: %s', task, metrics)
 
 
 @cli.command(name='infer-dataset', short_help='Pre-annotate dataset tasks with model predictions')

@@ -235,9 +235,16 @@ def _apply_transform(value: np.ndarray, transform: str) -> np.ndarray:
         return value[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
     if transform == 'fc_from_conv':    # (out, C*S*S) NCHW-flat -> NHWC-flat (in, out)
         out_dim, in_flat = value.shape
-        # the pooled feature is (S, S, 256); infer S from the flat size
-        channels = 256
-        size = int(round((in_flat / channels) ** 0.5))
+        # the pooled feature is (S, S, C); the box pooler is 7x7 across the
+        # whole Detectron2 R-CNN family, so infer C from S=7 first and only
+        # fall back to the zoo C=256 for exotic flat sizes
+        for size in (7, 14):
+            if in_flat % (size * size) == 0:
+                channels = in_flat // (size * size)
+                break
+        else:
+            channels = 256
+            size = int(round((in_flat / channels) ** 0.5))
         if size * size * channels != in_flat:
             raise ValueError(f'cannot infer pooler shape from fc ({value.shape})')
         return value.reshape(out_dim, channels, size, size) \

@@ -56,21 +56,34 @@ def export_model(model_dir: str, checkpoint: str = 'last',
     return output
 
 
-def load_exported_model(export_dir: str, batch_size: int = 10) -> Predictor:
-    '''Load an exported model as a Predictor (uses the serialized computation
-    when batch size matches, else rebuilds from config + params).'''
+def load_exported_model(export_dir: str,
+                        batch_size: Optional[int] = None) -> Predictor:
+    '''Load an exported model as a Predictor running the SERIALIZED
+    computation (no model re-trace) whenever the batch size matches the
+    burned-in export batch; other batch shapes (e.g. the tail-pad path)
+    rebuild from config + params like a normal Predictor.
+
+    ``batch_size`` defaults to the export's burned-in batch so the exported
+    program is used by default.
+    '''
     cfg, params, _ = load_model_dir(export_dir)
     hlo_path = os.path.join(export_dir, 'model.hlo')
-    predictor = Predictor(cfg, params, batch_size=batch_size)
+    exported = None
     if os.path.exists(hlo_path):
         with open(hlo_path, 'rb') as fh:
             exported = jax_export.deserialize(fh.read())
-        in_shape = exported.in_avals[1].shape if len(exported.in_avals) > 1 else None
-        if in_shape is not None and in_shape[0] == batch_size:
-            call = jax.jit(exported.call)
-
-            def _exported_forward(images, image_sizes):
-                return call(params, images, image_sizes)
-
-            predictor._exported_forward = _exported_forward  # noqa: SLF001
+    export_batch = (exported.in_avals[-2].shape[0]
+                    if exported is not None else None)
+    if batch_size is None:
+        batch_size = export_batch or 10
+    predictor = Predictor(cfg, params, batch_size=batch_size)
+    if exported is not None and export_batch == batch_size:
+        call = jax.jit(exported.call)
+        # Predictor._step_impl calls this as (params, images, image_sizes);
+        # exported.call flattens params itself
+        predictor._exported_forward = call  # noqa: SLF001
+    elif exported is not None:
+        logging.warning(
+            'exported computation has batch %s but predictor batch is %d; '
+            'falling back to re-traced model', export_batch, batch_size)
     return predictor

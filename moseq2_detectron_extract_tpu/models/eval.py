@@ -297,13 +297,21 @@ def evaluate_predictions(items: Sequence[DataItem],
 def evaluate_model(model_dir: str, items: Sequence[DataItem],
                    checkpoint: str = 'last', batch_size: int = 8,
                    cfg: Optional[ModelConfig] = None,
-                   params=None) -> Dict[str, Dict[str, float]]:
+                   params=None, predictor=None) -> Dict[str, Dict[str, float]]:
     '''Load a model and evaluate over annotated items, logging data/compute
-    seconds-per-iter like m2de/model/eval.py:125-155.'''
+    seconds-per-iter like m2de/model/eval.py:125-155.
+
+    An already-built ``predictor`` (e.g. an exported model from
+    deploy.load_exported_model, mirroring the reference's post-export eval,
+    m2de/model/deploy.py:24-123) takes precedence over loading from
+    ``model_dir``.
+    '''
     from moseq2_detectron_extract_tpu.io.image import read_image
     from moseq2_detectron_extract_tpu.models.predictor import Predictor
 
-    if cfg is not None and params is not None:
+    if predictor is not None:
+        pass
+    elif cfg is not None and params is not None:
         predictor = Predictor(cfg, params, batch_size=batch_size)
     else:
         predictor = Predictor.from_model_dir(model_dir, checkpoint=checkpoint,

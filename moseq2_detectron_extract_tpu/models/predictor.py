@@ -40,6 +40,10 @@ class Predictor:
         self.model = MaskKeypointRCNN(self.cfg)
         self.params = params
         self.batch_size = int(batch_size)
+        # deploy.load_exported_model installs the deserialized jax.export
+        # computation here; _step_impl then runs the serialized program
+        # instead of re-tracing the model (m2de/model/deploy.py:24-123)
+        self._exported_forward = None
 
     def to_device(self, device) -> 'Predictor':
         '''Return a Predictor whose params are committed to ``device``.
@@ -55,6 +59,7 @@ class Predictor:
         clone.model = self.model
         clone.params = jax.device_put(self.params, device)
         clone.batch_size = self.batch_size
+        clone._exported_forward = None  # exported blobs are single-device
         return clone
 
     @classmethod
@@ -86,8 +91,11 @@ class Predictor:
 
         b = x.shape[0]
         image_sizes = jnp.tile(jnp.asarray([[new_h, new_w]], jnp.float32), (b, 1))
-        out = self.model.apply(self.params, x, image_sizes,
-                               method=MaskKeypointRCNN.inference)
+        if self._exported_forward is not None and b == self.batch_size:
+            out = self._exported_forward(self.params, x, image_sizes)
+        else:
+            out = self.model.apply(self.params, x, image_sizes,
+                                   method=MaskKeypointRCNN.inference)
 
         # detector_postprocess: rescale to original frame resolution
         inv = 1.0 / scale
