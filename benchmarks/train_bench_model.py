@@ -1,0 +1,233 @@
+'''Train the committed benchmark checkpoint on the BENCH distribution.
+
+The headline bench (bench.py) extracts a synthetic Kinect session through the
+full pipeline; the model sees ROI-cropped, background-subtracted,
+height-scaled uint8 frames resized onto the 256 canvas. A checkpoint trained
+on a different intensity/scale distribution (e.g. benchmarks/overfit_ap.py's
+raw-height mice) misses these frames at the production threshold — measured
+1/8 detections. This script renders training views through the SAME ops the
+pipeline uses (prep_raw_frames_host -> decode -> scale_raw_frames -> the
+predictor's resize+pad), with randomized mouse pose, so the committed
+checkpoint detects the bench workload honestly at threshold 0.5.
+
+Usage:  SAVE_DIR=/tmp/bench_model python benchmarks/train_bench_model.py
+Then:   package with models.checkpoint.save_params_npz into
+        benchmarks/bench_model/params_f16.npz (see that module).
+'''
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import bench
+
+N_IMAGES = int(os.environ.get('N_IMAGES', 192))
+MAX_STEPS = int(os.environ.get('STEPS', 4000))
+EVAL_EVERY = int(os.environ.get('EVAL_EVERY', 250))
+TARGET_RATE = float(os.environ.get('TARGET_RATE', 0.99))
+SEED = 0
+
+
+def roi_view_params():
+    '''The bench session's deterministic ROI crop: (x0, y0, side, scale,
+    new_side) where scale maps ROI pixels onto the model's 240px test view.'''
+    from moseq2_detectron_extract_tpu.io.session import Session
+    from moseq2_detectron_extract_tpu.models.config import ModelConfig
+    from moseq2_detectron_extract_tpu.models.predictor import compute_test_scale
+    from moseq2_detectron_extract_tpu.ops.preprocess import bbox_from_roi
+
+    work = tempfile.mkdtemp(prefix='benchview_')
+    path = bench.write_session(os.path.join(work, 's'), 8)
+    sess = Session(path)
+    sess._bground_im = bench.make_background()
+    sess.find_roi(bg_roi_depth_range=(650, 750), cache_dir=None)
+    (y0, x0), (y1, x1) = bbox_from_roi(sess.roi)
+    side = max(y1 - y0, x1 - x0)
+    cfg = ModelConfig()
+    scale = compute_test_scale(side, side, cfg.min_size_test, cfg.max_size_test)
+    return sess.roi, sess.bground_im, (x0, y0), side, scale
+
+
+def make_bench_view_dataset(rng, n, cfg, roi, bground, origin, side, scale):
+    '''n model-view training samples rendered through the real prep ops.'''
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    from moseq2_detectron_extract_tpu.ops.preprocess import (
+        decode_prepped_frames, prep_raw_frames_host, scale_raw_frames)
+
+    s = cfg.image_size
+    k = cfg.num_keypoints
+    new_side = int(side * scale + 0.5)
+    x0, y0 = origin
+    h, w = bground.shape
+
+    images = np.zeros((n, s, s), 'float32')
+    masks = np.zeros((n, 1, s, s), bool)
+    keypoints = np.zeros((n, 1, k, 3), 'float32')
+    valid = np.ones((n, 1), bool)
+
+    cx_a, cy_a = w / 2, h / 2
+    r_max = h / 2 - 10 - 45        # arena radius minus mouse long axis margin
+    for i in range(n):
+        rad = r_max * np.sqrt(rng.uniform(0, 1))
+        th = rng.uniform(0, 2 * np.pi)
+        cx, cy = cx_a + rad * np.cos(th), cy_a + rad * np.sin(th)
+        ang = rng.uniform(0, 360)
+        mouse = np.zeros((h, w), np.uint8)
+        cv2.ellipse(mouse, (int(cx), int(cy)), (40, 18), ang, 0, 360, 1, -1)
+        raw = bground.copy()
+        raw[mouse > 0] = bench.FLOOR_DEPTH - bench.MOUSE_HEIGHT
+        raw = np.clip(raw + rng.normal(0, 1.0, raw.shape), 0, 65535)
+        prepped = prep_raw_frames_host(
+            raw[None].astype('<u2'), bground_im=bground, roi=roi,
+            vmin=0, vmax=100, dtype='uint8')
+        dec = decode_prepped_frames(jnp.asarray(prepped))
+        view = scale_raw_frames(dec, 0, 100)          # uint8 ROI view
+        # the predictor's test-time resize+pad, reproduced exactly
+        resized = jax.image.resize(view.astype(jnp.float32),
+                                   (1, new_side, new_side), method='bilinear')
+        images[i, :new_side, :new_side] = np.asarray(resized[0])
+
+        # GT in model-view coordinates
+        mcx, mcy = (cx - x0) * scale, (cy - y0) * scale
+        gm = np.zeros((s, s), np.uint8)
+        cv2.ellipse(gm, (int(round(mcx)), int(round(mcy))),
+                    (max(int(round(40 * scale)), 1),
+                     max(int(round(18 * scale)), 1)), ang, 0, 360, 1, -1)
+        masks[i, 0] = gm > 0
+        ca, sa = np.cos(np.radians(ang)), np.sin(np.radians(ang))
+        t = np.linspace(-0.8 * 40 * scale, 0.8 * 40 * scale, k)
+        keypoints[i, 0, :, 0] = mcx + t * ca
+        keypoints[i, 0, :, 1] = mcy + t * sa
+        keypoints[i, 0, :, 2] = 2.0
+    return {'image': images, 'masks': masks, 'keypoints': keypoints,
+            'valid': valid}
+
+
+def detection_rate(cfg, params, threshold=0.5, nframes=64):
+    '''Detections/frame on REAL bench-session frames through the REAL
+    pipeline prep + Predictor — the number the committed checkpoint is for.'''
+    import jax.numpy as jnp
+    from functools import partial
+    from moseq2_detectron_extract_tpu.io.session import Session, Stream
+    from moseq2_detectron_extract_tpu.models.predictor import Predictor
+    from moseq2_detectron_extract_tpu.ops.preprocess import (
+        decode_prepped_frames, prep_raw_frames_host, scale_raw_frames)
+
+    work = tempfile.mkdtemp(prefix='benchdet_')
+    path = bench.write_session(os.path.join(work, 's'), nframes, seed=1)
+    sess = Session(path)
+    sess._bground_im = bench.make_background()
+    sess.find_roi(bg_roi_depth_range=(650, 750), cache_dir=None)
+    it = sess.iterate(chunk_size=nframes, streams=(Stream.DEPTH,))
+    it.attach_filter(Stream.DEPTH, partial(
+        prep_raw_frames_host, bground_im=sess.bground_im, roi=sess.roi,
+        vmin=0, vmax=100, dtype='uint8'))
+    _, chunk = next(iter(it))
+    frames = scale_raw_frames(decode_prepped_frames(jnp.asarray(
+        np.asarray(chunk))), 0, 100)
+    pred = Predictor(cfg, params, batch_size=min(nframes, 32),
+                     score_threshold=threshold)
+    out = pred(np.asarray(frames))
+    per_frame = np.asarray(out['valid']).any(axis=1)
+    return float(per_frame.mean()), float(np.asarray(out['scores'])[:, 0].mean())
+
+
+def main():
+    import jax
+    from moseq2_detectron_extract_tpu.utils.compile_cache import \
+        enable_compilation_cache
+    enable_compilation_cache()
+    import jax.numpy as jnp
+    from moseq2_detectron_extract_tpu.models.config import ModelConfig
+    from moseq2_detectron_extract_tpu.models.train import (create_train_state,
+                                                           make_train_step)
+
+    cfg = ModelConfig(
+        test_detections_per_image=1, max_gt_instances=1,
+        base_lr=float(os.environ.get('LR', 5e-3)),
+        warmup_iters=int(os.environ.get('WARMUP', 300)))
+    print(f'devices: {jax.devices()}  canvas {cfg.image_size}', flush=True)
+
+    rng = np.random.default_rng(SEED)
+    roi, bground, origin, side, scale = roi_view_params()
+    print(f'ROI side={side} view scale={scale:.4f}', flush=True)
+    data = make_bench_view_dataset(rng, N_IMAGES, cfg, roi, bground,
+                                   origin, side, scale)
+    dev = {k: jnp.asarray(v) for k, v in data.items()}
+    batch_size = 8
+
+    mean = jnp.asarray(cfg.pixel_mean)
+    std = jnp.asarray(cfg.pixel_std)
+
+    @jax.jit
+    def prep_batch(idx):
+        x = jnp.repeat(dev['image'][idx][..., None], 3, axis=-1)
+        x = (x - mean) / std
+        imasks = dev['masks'][idx]
+
+        def box_of(masks_one):
+            def one(m):
+                any_m = jnp.any(m)
+                ys = jnp.any(m, axis=1)
+                xs = jnp.any(m, axis=0)
+                iy = jnp.arange(m.shape[0], dtype=jnp.float32)
+                ix = jnp.arange(m.shape[1], dtype=jnp.float32)
+                y1 = jnp.min(jnp.where(ys, iy, jnp.inf))
+                y2 = jnp.max(jnp.where(ys, iy, -jnp.inf)) + 1
+                x1 = jnp.min(jnp.where(xs, ix, jnp.inf))
+                x2 = jnp.max(jnp.where(xs, ix, -jnp.inf)) + 1
+                return jnp.where(any_m, jnp.stack([x1, y1, x2, y2]),
+                                 jnp.zeros(4))
+            return jax.vmap(one)(masks_one)
+
+        gt = {'boxes': jax.vmap(box_of)(imasks), 'valid': dev['valid'][idx],
+              'masks': imasks, 'keypoints': dev['keypoints'][idx]}
+        return x, gt
+
+    state = create_train_state(cfg, jax.random.PRNGKey(SEED))
+    step_fn = make_train_step(cfg)
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    best = None
+    for step in range(1, MAX_STEPS + 1):
+        key, pk, sk = jax.random.split(key, 3)
+        idx = jax.random.choice(pk, N_IMAGES, (batch_size,), replace=False)
+        images, gt = prep_batch(idx)
+        state, metrics = step_fn(state, {'images': images, 'gt': gt}, sk)
+        if step == 1:
+            jax.block_until_ready(metrics['total_loss'])
+            print(f'compile+step1: {time.time() - t0:.1f}s', flush=True)
+        if step % EVAL_EVERY == 0 or step == MAX_STEPS:
+            loss = float(np.asarray(metrics['total_loss']))
+            rate, mean_score = detection_rate(cfg, state.params)
+            row = {'step': step, 'loss': round(loss, 3),
+                   'bench_detection_rate': round(rate, 4),
+                   'mean_top_score': round(mean_score, 3),
+                   'elapsed_s': round(time.time() - t0, 1)}
+            best = row
+            print(json.dumps(row), flush=True)
+            if rate >= TARGET_RATE:
+                print(f'TARGET REACHED at step {step}', flush=True)
+                break
+
+    save_dir = os.environ.get('SAVE_DIR')
+    if save_dir:
+        from moseq2_detectron_extract_tpu.models.checkpoint import save_checkpoint
+        os.makedirs(save_dir, exist_ok=True)
+        cfg.to_yaml(os.path.join(save_dir, 'config.yaml'))
+        save_checkpoint(save_dir, int(np.asarray(state.step)),
+                        {'params': jax.device_get(state.params)})
+        print(f'saved model dir: {save_dir}', flush=True)
+    print(json.dumps({'final': best}), flush=True)
+
+
+if __name__ == '__main__':
+    main()
