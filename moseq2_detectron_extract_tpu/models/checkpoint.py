@@ -73,11 +73,50 @@ def load_checkpoint(path: str, template: Optional[Any] = None) -> Any:
         return ckptr.restore(os.path.abspath(path))
 
 
+def save_params_npz(path: str, params: Any, dtype: str = 'float16') -> None:
+    '''Flatten a params pytree into a compressed npz ('/'-joined keys).
+
+    float16 halves the artifact size vs the orbax f32 layout — the committed
+    benchmark checkpoint rides in the git repo, so size matters more than the
+    last mantissa bits (weights are O(1) post-training; fp16's 10-bit
+    mantissa loses ~1e-4 relative, invisible at detection thresholds).
+    '''
+    import jax
+    import numpy as np
+    flat = {}
+    for keypath, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = '/'.join(str(getattr(k, 'key', k)) for k in keypath)
+        flat[name] = np.asarray(leaf).astype(dtype)
+    np.savez_compressed(path, **flat)
+
+
+def load_params_npz(path: str) -> Any:
+    '''Inverse of :func:`save_params_npz`: nested dict of float32 arrays.'''
+    import numpy as np
+    flat = np.load(path)
+    tree: dict = {}
+    for key in flat.files:
+        node = tree
+        parts = key.split('/')
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = flat[key].astype(np.float32)
+    return tree
+
+
 def load_model_dir(model_dir: str, checkpoint: str = 'last'
                    ) -> Tuple[ModelConfig, Any, Optional[int]]:
-    '''Load (config, params, step) from a model dir.'''
+    '''Load (config, params, step) from a model dir.
+
+    A model dir normally holds orbax checkpoints; a dir carrying a
+    ``params_f16.npz`` (the compact committed-artifact layout written by
+    :func:`save_params_npz`) loads through the same interface.
+    '''
     cfg_path = os.path.join(model_dir, 'config.yaml')
     cfg = ModelConfig.from_yaml(cfg_path) if os.path.exists(cfg_path) else ModelConfig()
+    npz_path = os.path.join(model_dir, 'params_f16.npz')
+    if os.path.exists(npz_path) and get_checkpoint(model_dir, checkpoint) is None:
+        return cfg, load_params_npz(npz_path), None
     ckpt_path = get_checkpoint(model_dir, checkpoint)
     if ckpt_path is None:
         raise FileNotFoundError(f'no checkpoint found in {model_dir}')

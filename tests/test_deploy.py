@@ -129,3 +129,53 @@ class TestExportRoundTrip:
                 got = res_exp[task][metric]
                 assert got == pytest.approx(val, abs=1e-6, nan_ok=True), \
                     f'{task}/{metric}: exported {got} != live {val}'
+
+
+class TestNpzModelDir:
+    '''The compact committed-artifact layout (params_f16.npz + config.yaml)
+    loads through the same load_model_dir/Predictor interface as orbax dirs
+    — the committed benchmark checkpoint (benchmarks/bench_model) rides on
+    this path.'''
+
+    def test_npz_round_trip_and_predictor_load(self, tmp_path):
+        import jax.numpy as jnp
+        from moseq2_detectron_extract_tpu.models.checkpoint import (
+            load_model_dir, load_params_npz, save_params_npz)
+
+        cfg = tiny_config()
+        model = MaskKeypointRCNN(cfg)
+        images = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), images,
+                            method=MaskKeypointRCNN.inference)
+        d = str(tmp_path / 'npz_model')
+        os.makedirs(d)
+        cfg.to_yaml(os.path.join(d, 'config.yaml'))
+        save_params_npz(os.path.join(d, 'params_f16.npz'), params)
+
+        restored = load_params_npz(os.path.join(d, 'params_f16.npz'))
+        orig = jax.tree_util.tree_leaves(params)
+        back = jax.tree_util.tree_leaves(restored)
+        assert len(orig) == len(back)
+        for a, b in zip(orig, back):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(np.asarray(a, 'float32'), b,
+                                       rtol=2e-3, atol=1e-4)
+
+        cfg2, params2, _ = load_model_dir(d)
+        assert cfg2.image_size == cfg.image_size
+        predictor = Predictor(cfg2, params2, batch_size=2)
+        out = predictor(_frames())
+        assert out['masks'].shape[0] == 2
+
+    def test_committed_bench_model_loads(self):
+        '''The actual committed artifact must stay loadable.'''
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        d = os.path.join(repo, 'benchmarks', 'bench_model')
+        if not os.path.exists(os.path.join(d, 'params_f16.npz')):
+            pytest.skip('no committed bench model')
+        from moseq2_detectron_extract_tpu.models.checkpoint import load_model_dir
+        cfg, params, _ = load_model_dir(d)
+        import jax.numpy as jnp
+        leaves = jax.tree_util.tree_leaves(params)
+        assert leaves and all(np.isfinite(l).all() for l in leaves)
+        assert cfg.image_size == 256
