@@ -18,7 +18,9 @@ from moseq2_detectron_extract_tpu.io.session import Session, Stream
 from moseq2_detectron_extract_tpu.io.video import PreviewVideoWriter
 from moseq2_detectron_extract_tpu.ops.instances import (gather_selected,
                                                         nms_and_centers,
+                                                        pack_masks_cropped,
                                                         packbits_device,
+                                                        unpack_masks_cropped,
                                                         unpackbits_host)
 from moseq2_detectron_extract_tpu.ops.preprocess import (decode_prepped_frames,
                                                          prep_raw_frames_host,
@@ -231,17 +233,25 @@ class ProcessFeaturesStep(PipelineStep):
         chunk_dev = data.get('chunk_dev')
         if chunk_dev is None:
             chunk_dev = jnp.asarray(data['chunk'])
+        import time as _time
         features = instances_to_features(
             data['sel_masks'], data['sel_keypoints'], data['num_instances'],
             chunk_dev, self.point_tracker, self.angle_tracker,
             debug=self.config.get('debug_feature_processing', False),
-            debug_dir=self.config['output_dir'])
+            debug_dir=self.config['output_dir'], timers=self.sub_times)
         # masked depth for the scalar reductions, computed on device
+        _t = _time.perf_counter()
         masked_frames = chunk_dev * jnp.asarray(features['masks'])
         scalars = self.scalars_fn(masked_frames, features['features'])
+        _t1 = _time.perf_counter()
         data['keypoints'] = self.compute_keypoints(
             features['keypoints'], features['cleaned_frames'],
             features['features']['centroid'], features['features']['orientation'])
+        _t2 = _time.perf_counter()
+        self.sub_times['feat_scalars'] = \
+            self.sub_times.get('feat_scalars', 0.0) + (_t1 - _t)
+        self.sub_times['feat_kpdict'] = \
+            self.sub_times.get('feat_kpdict', 0.0) + (_t2 - _t1)
         data['features'] = features
         data['scalars'] = scalars
         return data
@@ -271,11 +281,17 @@ class ProcessFeaturesStep(PipelineStep):
         packed = packbits_device(cropped_masks > 0.5)
         data['mask_frames'] = unpackbits_host(packed, self.crop[1]).astype('uint8')
         if self.config.get('preview_arena_masks', True):
-            # full-res selected mask for the preview's arena overlay; travels
-            # bit-packed (~22 KB/frame)
-            arena_packed = packbits_device(jnp.asarray(data['features']['masks']) > 0)
-            data['arena_masks'] = unpackbits_host(
-                np.asarray(arena_packed), raw_frames.shape[2])
+            # full-res selected mask for the preview's arena overlay; only a
+            # window around the animal travels, bit-packed (~2 KB/frame vs
+            # ~22 KB for the whole packed plane — the tunnel D2H made the
+            # full plane the most expensive transfer of the crop stage)
+            h, w = raw_frames.shape[1], raw_frames.shape[2]
+            win = min(128, h, w)
+            arena_packed, origins = pack_masks_cropped(
+                jnp.asarray(data['features']['masks']),
+                jnp.asarray(np.asarray(centroids, dtype='float32')), crop=win)
+            data['arena_masks'] = unpack_masks_cropped(
+                arena_packed, origins, (h, w), crop=win)
         return data
 
 

@@ -90,6 +90,14 @@ def _frame_features_impl(cleaned, model_masks, frame_threshold, mask_threshold):
     return feats, frame_mask
 
 
+@jax.jit
+def _frame_features_nocc(cleaned, model_masks, frame_threshold):
+    '''threshold ∧ model-mask -> moments (the CC term statically true).'''
+    frame_mask = (cleaned > frame_threshold) & (model_masks > 0)
+    feats = mask_moment_features(frame_mask)
+    return feats, frame_mask
+
+
 def get_frame_features(frames, frame_threshold: float = 10, mask=None,
                        mask_threshold: float = -30, use_cc: bool = False):
     '''Image-moment features of the largest blob per frame
@@ -105,14 +113,22 @@ def get_frame_features(frames, frame_threshold: float = 10, mask=None,
     else:
         model_masks = jnp.asarray(mask).astype(jnp.uint8)
 
-    if use_cc:
+    # The CC input is ``frames > mask_threshold``; the production call
+    # (mirroring m2de/proc/proc.py:717 + :280) feeds uint8 cleaned frames
+    # with mask_threshold=-30, so that input is ALL-foreground and the
+    # largest component is statically the whole frame. The reference burns
+    # a per-frame cv2 CC on it anyway; skipping it here removes the most
+    # expensive device program in the feature stage (~3.4 s per 1000-frame
+    # chunk measured) with bit-identical output.
+    cc_trivially_true = (use_cc and mask_threshold < 0
+                         and jnp.issubdtype(frames.dtype, jnp.unsignedinteger))
+    if use_cc and not cc_trivially_true:
         feats, frame_mask = _frame_features_impl(frames, model_masks,
                                                  float(frame_threshold),
                                                  float(mask_threshold))
     else:
-        thresh_mask = frames > frame_threshold
-        frame_mask = thresh_mask & (model_masks > 0)
-        feats = mask_moment_features(frame_mask)
+        feats, frame_mask = _frame_features_nocc(frames, model_masks,
+                                                 float(frame_threshold))
 
     features = {
         'centroid': np.asarray(feats['centroid'], dtype=float),
@@ -209,7 +225,8 @@ def instances_to_features(masks: np.ndarray, keypoints: np.ndarray,
                           num_instances: np.ndarray, raw_frames: np.ndarray,
                           point_tracker: Optional[KalmanTracker],
                           angle_tracker: Optional[KalmanTracker],
-                          debug: bool = False, debug_dir: str = '.') -> Dict:
+                          debug: bool = False, debug_dir: str = '.',
+                          timers: Optional[Dict[str, float]] = None) -> Dict:
     '''Feature post-processing brain (m2de/proc/proc.py:700-848).
 
     masks: (N, H, W) model mask of the selected instance (uint8/bool);
@@ -218,11 +235,21 @@ def instances_to_features(masks: np.ndarray, keypoints: np.ndarray,
     With trackers: Kalman smoothing + keypoint flip votes + per-frame angle
     heuristic. Without: flip votes + iterative 180-degree angle filtering.
     '''
+    import time as _time
+
+    def _mark(name, t_prev):
+        now = _time.perf_counter()
+        if timers is not None:
+            timers[name] = timers.get(name, 0.0) + (now - t_prev)
+        return now
+
+    _t = _time.perf_counter()
     keypoints = np.array(np.asarray(keypoints), dtype=float)
 
     cleaned_frames = clean_frames(raw_frames, iters_tail=3)  # device array
     features, feat_masks = get_frame_features(cleaned_frames, mask=masks, use_cc=True,
                                               frame_threshold=3)
+    _t = _mark('itf_moments', _t)
 
     with np.errstate(invalid='ignore'):
         lengths = np.max(features['axis_length'], axis=1)
@@ -241,6 +268,7 @@ def instances_to_features(masks: np.ndarray, keypoints: np.ndarray,
         features['centroid'] = np.asarray(s_centroids)
         # keep inferred tail tip: tracking lags the fast-moving tail
         keypoints[:, :7, :2] = np.asarray(s_kpts)[:, :7, :]
+        _t = _mark('itf_kalman_smooth', _t)
 
         flips, flip_confs = flips_from_keypoints(keypoints, features['centroid'],
                                                  angles, lengths)
@@ -273,6 +301,7 @@ def instances_to_features(masks: np.ndarray, keypoints: np.ndarray,
             angles = np.asarray(out_angles)
             flips = np.logical_xor(flips, np.asarray(flip_deltas))
             features['orientation'] = np.array(angles)
+            _mark('itf_angle_filter', _t)
             return {
                 'cleaned_frames': cleaned_frames,
                 'masks': feat_masks,

@@ -213,3 +213,32 @@ class TestRansac:
         dist_im = np.asarray(dists).reshape(h, w)
         # inliers should be ~ everything except the outliers
         assert (dist_im[~noise_idx] < 5.0).mean() > 0.99
+
+
+class TestCroppedMaskPacking:
+    def test_round_trip_preserves_blob(self, rng):
+        from moseq2_detectron_extract_tpu.ops.instances import (
+            pack_masks_cropped, unpack_masks_cropped)
+        masks = np.zeros((4, 200, 180), 'uint8')
+        centers = np.zeros((4, 2), 'float32')
+        for i in range(4):
+            cy, cx = int(rng.integers(20, 180)), int(rng.integers(20, 160))
+            cv2.ellipse(masks[i], (cx, cy), (24, 11), float(rng.uniform(0, 360)),
+                        0, 360, 1, -1)
+            centers[i] = (cx, cy)
+        packed, origins = pack_masks_cropped(jnp.asarray(masks),
+                                             jnp.asarray(centers), crop=96)
+        out = unpack_masks_cropped(packed, origins, (200, 180), crop=96)
+        np.testing.assert_array_equal(out, masks)
+
+    def test_nan_center_and_edge_clamp(self):
+        from moseq2_detectron_extract_tpu.ops.instances import (
+            pack_masks_cropped, unpack_masks_cropped)
+        masks = np.zeros((2, 100, 100), 'uint8')
+        masks[1, :10, :10] = 1          # blob in the corner
+        centers = np.asarray([[np.nan, np.nan], [2.0, 2.0]], 'float32')
+        packed, origins = pack_masks_cropped(jnp.asarray(masks),
+                                             jnp.asarray(centers), crop=64)
+        out = unpack_masks_cropped(packed, origins, (100, 100), crop=64)
+        assert out[0].sum() == 0
+        np.testing.assert_array_equal(out[1], masks[1])

@@ -442,3 +442,43 @@ class TestStats:
         data = np.array([1.0, np.nan, 1.1, 0.9, 99.0])
         mask = is_outlier(data)
         assert mask[4] and not mask[0]
+
+
+class TestCcShortCircuit:
+    def test_unsigned_negative_threshold_skips_cc_identically(self, rng):
+        '''uint8 frames with mask_threshold<0 make the CC input all-true
+        (exactly the production call, m2de/proc/proc.py:717+280); the
+        short-circuited path must equal the full CC program bit-for-bit.'''
+        import cv2
+        from moseq2_detectron_extract_tpu.proc.features import (
+            _frame_features_impl, _frame_features_nocc)
+        frames = np.zeros((3, 64, 64), 'uint8')
+        for i in range(3):
+            cv2.ellipse(frames[i], (32, 32), (20, 9), 40.0 * i, 0, 360, 60, -1)
+        frames += (rng.normal(0, 1, frames.shape) > 1.5).astype('uint8')
+        model = (frames > 0).astype('uint8')
+
+        f_full, m_full = _frame_features_impl(jnp.asarray(frames),
+                                              jnp.asarray(model), 3.0, -30.0)
+        f_fast, m_fast = _frame_features_nocc(jnp.asarray(frames),
+                                              jnp.asarray(model), 3.0)
+        np.testing.assert_array_equal(np.asarray(m_fast), np.asarray(m_full))
+        for key in f_full:
+            np.testing.assert_allclose(np.asarray(f_fast[key]),
+                                       np.asarray(f_full[key]), rtol=1e-6)
+
+    def test_get_frame_features_routes_to_fast_path(self, monkeypatch):
+        import moseq2_detectron_extract_tpu.proc.features as feat_mod
+        called = {}
+
+        def boom(*a, **k):
+            called['cc'] = True
+            raise AssertionError('CC path must not run for uint8 + thresh<0')
+
+        monkeypatch.setattr(feat_mod, '_frame_features_impl', boom)
+        frames = np.zeros((2, 32, 32), 'uint8')
+        frames[:, 10:20, 10:20] = 50
+        feats, mask = get_frame_features(jnp.asarray(frames), mask=None,
+                                         use_cc=True, frame_threshold=3)
+        assert 'cc' not in called
+        assert np.asarray(mask).sum() > 0
