@@ -227,6 +227,11 @@ class ProcessFeaturesStep(PipelineStep):
         data['sel_masks'] = sel_masks          # device (N, H, W) uint8
         data['sel_keypoints'] = sel_kpts       # device (N, K, 3)
         data['num_instances'] = num_instances
+        # chosen-instance centers [x, y] (NaN when none): downstream moments
+        # reduce over a window around these instead of the whole frame
+        sel_centers = centers[np.arange(n), chosen_idx][:, ::-1].copy()
+        sel_centers[num_instances <= 0] = np.nan
+        data['sel_centers_xy'] = sel_centers
         return data
 
     def _compute_features(self, data):
@@ -238,7 +243,8 @@ class ProcessFeaturesStep(PipelineStep):
             data['sel_masks'], data['sel_keypoints'], data['num_instances'],
             chunk_dev, self.point_tracker, self.angle_tracker,
             debug=self.config.get('debug_feature_processing', False),
-            debug_dir=self.config['output_dir'], timers=self.sub_times)
+            debug_dir=self.config['output_dir'], timers=self.sub_times,
+            window_centers=data.get('sel_centers_xy'))
         # masked depth for the scalar reductions, computed on device
         _t = _time.perf_counter()
         masked_frames = chunk_dev * jnp.asarray(features['masks'])
