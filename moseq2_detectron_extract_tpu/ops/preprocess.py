@@ -164,6 +164,11 @@ def prep_raw_frames_host(frames: np.ndarray, bground_im=None, roi=None,
         else:
             roi_crop = roi_np
 
+    out = _prep_frames_host_native(frames, bground_im, roi_crop, vmin, vmax,
+                                   dtype)
+    if out is not None:
+        return out
+
     invalid = frames == 0
 
     # integer arithmetic end to end (depth values fit int32 comfortably)
@@ -180,6 +185,46 @@ def prep_raw_frames_host(frames: np.ndarray, bground_im=None, roi=None,
     out = x.astype(dtype)
     out[invalid] = info.max  # sentinel for the device-side fill
     return out
+
+
+def _prep_frames_host_native(frames, bground_im, roi_crop, vmin, vmax,
+                             dtype) -> 'np.ndarray | None':
+    '''One-pass C++ core of :func:`prep_raw_frames_host` (bit-identical).
+
+    The numpy path makes ~8 passes over the chunk; on the single-core
+    extraction host that made the Read Depth stage the second-largest CPU
+    cost. Returns None (caller falls back to numpy) when the input is not
+    the production shape: uint16 frames, row-contiguous, uint8 output.
+    '''
+    if (np.dtype(dtype) != np.uint8 or frames.dtype != np.uint16
+            or frames.ndim != 3 or frames.strides[2] != 2
+            or frames.strides[1] < 0 or frames.strides[0] < 0):
+        return None
+    from moseq2_detectron_extract_tpu.native import load_prep_lib
+    lib = load_prep_lib()
+    if lib is None:
+        return None
+    import ctypes
+    t, h, w = frames.shape
+    bg = None if bground_im is None else \
+        np.ascontiguousarray(bground_im, dtype=np.int32)
+    roi32 = None if roi_crop is None else \
+        np.ascontiguousarray(roi_crop, dtype=np.int32)
+    hi = int(vmax) if vmax is not None else 254
+    hi = min(hi, 254)
+    out = np.empty((t, h, w), np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_ubyte)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.prep_frames_native(
+        frames.ctypes.data_as(u8p),
+        ctypes.c_long(frames.strides[0]), ctypes.c_long(frames.strides[1]),
+        None if bg is None else bg.ctypes.data_as(i32p),
+        None if roi32 is None else roi32.ctypes.data_as(i32p),
+        ctypes.c_long(t), ctypes.c_long(h), ctypes.c_long(w),
+        int(vmin is not None), 0 if vmin is None else int(np.ceil(vmin)),
+        0, hi, 255,
+        out.ctypes.data_as(u8p))
+    return out if rc == 0 else None
 
 
 @functools.partial(jax.jit, static_argnames=('fill_iterations',))

@@ -35,8 +35,8 @@ def test_command_help(command):
 def _iter_modules():
     prefix = moseq2_detectron_extract_tpu.__name__ + '.'
     for info in pkgutil.walk_packages(moseq2_detectron_extract_tpu.__path__, prefix):
-        if 'libkalman' in info.name:
-            continue  # built shared library, not an importable module
+        if 'libkalman' in info.name or 'libprep' in info.name:
+            continue  # built shared libraries, not importable modules
         yield info.name
 
 

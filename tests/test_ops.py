@@ -242,3 +242,52 @@ class TestCroppedMaskPacking:
         out = unpack_masks_cropped(packed, origins, (100, 100), crop=64)
         assert out[0].sum() == 0
         np.testing.assert_array_equal(out[1], masks[1])
+
+
+class TestNativePrepParity:
+    '''The one-pass C++ prep core must be bit-identical to the numpy path
+    (prep_raw_frames_host; native/prep_native.cpp).'''
+
+    def _both_paths(self, monkeypatch, frames, **kw):
+        from moseq2_detectron_extract_tpu.ops import preprocess
+        native = preprocess.prep_raw_frames_host(np.asarray(frames), **kw)
+        monkeypatch.setattr(preprocess, '_prep_frames_host_native',
+                            lambda *a, **k: None)
+        ref = preprocess.prep_raw_frames_host(np.asarray(frames), **kw)
+        return native, ref
+
+    def test_native_lib_builds(self):
+        from moseq2_detectron_extract_tpu.native import load_prep_lib
+        assert load_prep_lib() is not None
+
+    def test_full_production_shape(self, rng, monkeypatch):
+        frames = rng.integers(0, 900, size=(4, 60, 70)).astype('uint16')
+        frames[rng.random(frames.shape) < 0.02] = 0  # kinect dropouts
+        bg = rng.integers(600, 900, size=(60, 70)).astype('uint16')
+        roi = np.zeros((60, 70), 'uint8')
+        roi[5:55, 8:63] = 1
+        native, ref = self._both_paths(
+            monkeypatch, frames, bground_im=bg, roi=roi, vmin=10, vmax=100)
+        assert native.dtype == np.uint8
+        np.testing.assert_array_equal(native, ref)
+
+    def test_roi_255_values_and_no_vmin(self, rng, monkeypatch):
+        frames = rng.integers(0, 900, size=(3, 40, 40)).astype('uint16')
+        bg = rng.integers(600, 900, size=(40, 40)).astype('uint16')
+        roi = np.zeros((40, 40), 'uint8')
+        roi[4:36, 4:36] = 255  # cv2-style mask values scale the product
+        native, ref = self._both_paths(
+            monkeypatch, frames, bground_im=bg, roi=roi, vmax=80)
+        np.testing.assert_array_equal(native, ref)
+
+    def test_no_bground_no_roi(self, rng, monkeypatch):
+        frames = rng.integers(0, 300, size=(3, 32, 32)).astype('uint16')
+        frames[0, 0, 0] = 0
+        native, ref = self._both_paths(monkeypatch, frames, vmin=5, vmax=200)
+        np.testing.assert_array_equal(native, ref)
+
+    def test_uint16_output_falls_back(self, rng, monkeypatch):
+        from moseq2_detectron_extract_tpu.ops import preprocess
+        frames = rng.integers(0, 900, size=(2, 16, 16)).astype('uint16')
+        assert preprocess._prep_frames_host_native(
+            frames, None, None, 5, 100, 'uint16') is None
