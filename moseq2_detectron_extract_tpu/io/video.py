@@ -351,7 +351,9 @@ class PreviewVideoWriter:
                     fourcc = cv2.VideoWriter_fourcc(*'mp4v')
                     self._cvwriter = cv2.VideoWriter(self.filename, fourcc, self.fps,
                                                      (rgb.shape[1], rgb.shape[0]))
-                self._cvwriter.write(rgb[..., ::-1])  # BGR for cv2
+                # cvtColor, not rgb[..., ::-1]: cv2 copies non-contiguous
+                # input through a slow path (2x the whole encode, measured)
+                self._cvwriter.write(cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
 
     def close(self) -> None:
         '''Finalize the video file.'''
