@@ -72,7 +72,8 @@ class Predictor:
         return cls(cfg, params, batch_size=batch_size, score_threshold=score_threshold)
 
     # ------------------------------------------------------------------ step
-    def _step_impl(self, frames, frame_shape: Tuple[int, int]):
+    def _step_impl(self, frames, frame_shape: Tuple[int, int],
+                   with_select: bool = False):
         '''frames (B, H, W) uint8 -> detection dict at frame resolution.'''
         cfg = self.cfg
         h, w = frame_shape
@@ -107,18 +108,31 @@ class Predictor:
         masks = jax.image.resize(mask_canvas, (b, d, h, w), method='bilinear') > 0.5
         masks = masks & out['valid'][:, :, None, None]
 
-        return {
+        result = {
             'boxes': boxes, 'scores': out['scores'], 'classes': out['classes'],
             'valid': out['valid'], 'masks': masks, 'keypoints': keypoints,
             'mask_probs': out['mask_probs'],
         }
+        if with_select:
+            # extraction-pipeline selection fused into the same program:
+            # mask-IoU NMS + centers run here while the full-res masks are
+            # still batch-local, instead of a second dispatch re-reading the
+            # whole-chunk (N, D, H, W) mask tensor from HBM
+            from moseq2_detectron_extract_tpu.ops.instances import \
+                nms_and_centers
+            keep, centers, iou = nms_and_centers(masks, out['scores'],
+                                                 out['valid'])
+            result.update(keep=keep, centers=centers, mask_iou=iou)
+        return result
 
     @functools.partial(jax.jit, static_argnames=('self', 'frame_shape'))
     def _step(self, frames, frame_shape: Tuple[int, int]):
         return self._step_impl(frames, frame_shape)
 
-    @functools.partial(jax.jit, static_argnames=('self', 'frame_shape'))
-    def _chunk_step(self, frames, frame_shape: Tuple[int, int]):
+    @functools.partial(jax.jit,
+                       static_argnames=('self', 'frame_shape', 'with_select'))
+    def _chunk_step(self, frames, frame_shape: Tuple[int, int],
+                    with_select: bool = False):
         '''Whole-chunk inference as ONE device program: frames (N, H, W) with
         N a multiple of batch_size; batches run sequentially via lax.map so
         activation memory stays bounded while host<->device round trips drop
@@ -126,11 +140,16 @@ class Predictor:
         n, h, w = frames.shape
         nb = n // self.batch_size
         batched = frames.reshape(nb, self.batch_size, h, w)
-        return jax.lax.map(lambda b: self._step_impl(b, frame_shape), batched)
+        return jax.lax.map(
+            lambda b: self._step_impl(b, frame_shape, with_select=with_select),
+            batched)
 
-    def _chunk_with_retry(self, frames, frame_shape, attempts: int = 3):
+    def _chunk_with_retry(self, frames, frame_shape, attempts: int = 3,
+                          with_select: bool = False):
         '''Retry wrapper for the chunk-level program.'''
-        return self._retry(lambda: self._chunk_step(frames, frame_shape), attempts)
+        return self._retry(
+            lambda: self._chunk_step(frames, frame_shape,
+                                     with_select=with_select), attempts)
 
     def _step_with_retry(self, batch, frame_shape, attempts: int = 3):
         '''Retry wrapper for the per-batch program.'''
@@ -153,12 +172,16 @@ class Predictor:
         raise RuntimeError('unreachable')
 
     # ------------------------------------------------------------------ call
-    def __call__(self, frames, return_device: bool = False) -> Dict[str, np.ndarray]:
+    def __call__(self, frames, return_device: bool = False,
+                 select: bool = False) -> Dict[str, np.ndarray]:
         '''Run inference over (N, H, W[, C]) frames in fixed-size batches.
 
         ``frames`` may be a numpy array or an already-device-resident jax
         array. With ``return_device=True`` the outputs stay on device (no
         device->host transfer) — the extraction pipeline consumes them there.
+        With ``select=True`` the chunk program also returns the extraction
+        pipeline's instance selection (``keep``/``centers``/``mask_iou``,
+        see ops/instances.py:nms_and_centers) fused into the same dispatch.
         '''
         if frames.ndim == 4:  # take first channel of multi-channel input
             frames = frames[..., 0]
@@ -171,7 +194,8 @@ class Predictor:
             if pad:
                 dev_frames = jnp.concatenate(
                     [dev_frames, jnp.zeros((pad, h, w), dev_frames.dtype)])
-            out = self._chunk_with_retry(dev_frames, (h, w))
+            out = self._chunk_with_retry(dev_frames, (h, w),
+                                         with_select=select)
             return {k: v.reshape((-1,) + v.shape[2:])[:n] for k, v in out.items()}
 
         outs = []

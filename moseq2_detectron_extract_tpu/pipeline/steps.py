@@ -108,7 +108,8 @@ class InferenceStep(PipelineStep):
         data['chunk_dev'] = chunk_dev
         sentinel = np.iinfo(data['chunk'].dtype).max
         data['chunk'] = np.where(data['chunk'] == sentinel, 0, data['chunk'])
-        data['inference'] = self.predictor(frames, return_device=True)
+        data['inference'] = self.predictor(frames, return_device=True,
+                                           select=True)
         self.update_progress(len(data['frame_idxs']))
         return data
 
@@ -176,9 +177,16 @@ class ProcessFeaturesStep(PipelineStep):
 
         import time as _time
         _t0 = _time.perf_counter()
-        keep_dev, centers_dev, iou_dev = nms_and_centers(
-            masks_dev, jnp.asarray(inference['scores']),
-            jnp.asarray(inference['valid']))
+        if 'keep' in inference:
+            # selection was fused into the inference program (Predictor
+            # select=True): no second dispatch over the (N, D, H, W) masks
+            keep_dev, centers_dev, iou_dev = (inference['keep'],
+                                              inference['centers'],
+                                              inference['mask_iou'])
+        else:
+            keep_dev, centers_dev, iou_dev = nms_and_centers(
+                masks_dev, jnp.asarray(inference['scores']),
+                jnp.asarray(inference['valid']))
         keep = np.asarray(keep_dev)            # (N, D) - tiny transfers
         centers = np.asarray(centers_dev)      # (N, D, 2)
         scores = np.asarray(inference['scores'])

@@ -95,7 +95,10 @@ class FakePredictor:
         self.max_det = max_det
         self.counter = frame_offset
 
-    def __call__(self, frames, return_device=False):
+    def __call__(self, frames, return_device=False, select=False):
+        # select is accepted for API parity with the real Predictor; this
+        # fake omits the fused keep/centers outputs, so the pipeline
+        # exercises its separate-dispatch fallback path
         frames = np.asarray(frames)
         n, h, w = frames.shape[:3] if frames.ndim == 3 else frames.shape[:3]
         d, k = self.max_det, 8

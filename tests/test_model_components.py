@@ -320,3 +320,56 @@ class TestInitParams:
         t2 = {jtu.keystr(k): (v.shape, v.dtype)
               for k, v in jtu.tree_leaves_with_path(s_full)}
         assert t1 == t2
+
+
+class TestPredictorFusedSelect:
+    def test_select_outputs_match_separate_nms(self):
+        '''Predictor(select=True) fuses nms_and_centers into the chunk
+        program; its keep/centers/mask_iou must equal the separate-dispatch
+        path applied to the returned masks.'''
+        from moseq2_detectron_extract_tpu.models.config import ModelConfig
+        from moseq2_detectron_extract_tpu.models.predictor import Predictor
+        from moseq2_detectron_extract_tpu.models.rcnn import MaskKeypointRCNN
+        from moseq2_detectron_extract_tpu.ops.instances import nms_and_centers
+        cfg = ModelConfig(
+            image_size=64, resnet_stage_blocks=(1, 1, 1, 1), resnet_width=16,
+            fpn_channels=32, box_fc_dim=32, mask_conv_dims=(16,),
+            keypoint_conv_dims=(16,), rpn_pre_nms_topk_test=16,
+            rpn_post_nms_topk_test=8, test_detections_per_image=2,
+            test_score_thresh=0.0)
+        model = MaskKeypointRCNN(cfg)
+        images = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), images,
+                            method=MaskKeypointRCNN.inference)
+        pred = Predictor(cfg, params, batch_size=2)
+        frames = (np.linspace(0, 255, 4 * 60 * 62)
+                  .reshape(4, 60, 62).astype('uint8'))
+        out = pred(frames, return_device=True, select=True)
+        assert {'keep', 'centers', 'mask_iou'} <= set(out)
+        keep2, centers2, iou2 = nms_and_centers(
+            jnp.asarray(out['masks']), jnp.asarray(out['scores']),
+            jnp.asarray(out['valid']))
+        np.testing.assert_array_equal(np.asarray(out['keep']),
+                                      np.asarray(keep2))
+        np.testing.assert_allclose(np.asarray(out['centers']),
+                                   np.asarray(centers2), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out['mask_iou']),
+                                   np.asarray(iou2), rtol=1e-5, atol=1e-5)
+
+    def test_select_false_has_no_extras(self):
+        from moseq2_detectron_extract_tpu.models.config import ModelConfig
+        from moseq2_detectron_extract_tpu.models.predictor import Predictor
+        from moseq2_detectron_extract_tpu.models.rcnn import MaskKeypointRCNN
+        cfg = ModelConfig(
+            image_size=64, resnet_stage_blocks=(1, 1, 1, 1), resnet_width=16,
+            fpn_channels=32, box_fc_dim=32, mask_conv_dims=(16,),
+            keypoint_conv_dims=(16,), rpn_pre_nms_topk_test=16,
+            rpn_post_nms_topk_test=8, test_detections_per_image=2)
+        model = MaskKeypointRCNN(cfg)
+        images = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), images,
+                            method=MaskKeypointRCNN.inference)
+        pred = Predictor(cfg, params, batch_size=2)
+        frames = np.zeros((2, 60, 62), 'uint8')
+        out = pred(frames, return_device=True)
+        assert 'keep' not in out
