@@ -114,6 +114,45 @@ def unpack_masks_cropped(packed, origins, frame_shape, crop: int = 128):
     return out
 
 
+@functools.partial(jax.jit, static_argnames=('crop',))
+def gather_selected_windows(masks, keypoints, chosen_idx, has_instance,
+                            centers_xy, chunk, crop: int = 160):
+    '''Gather one instance per frame AND slice ``crop`` windows around each
+    detection center from both the selected mask and the raw depth chunk —
+    one program, so the (N, D, H, W) mask tensor is read exactly once.
+
+    The downstream feature stage (clean/moments/scalars/z-lookup) then runs
+    on (N, crop, crop) windows instead of full frames: the animal occupies a
+    tiny fraction of the arena, and every mask pixel lives inside its
+    detection's window whenever the blob fits ``crop`` (the model mask is
+    contained in the detection box centered at ``centers_xy``).
+
+    masks (N, D, H, W); keypoints (N, D, K, 3); chosen_idx (N,) int32;
+    has_instance (N,) bool; centers_xy (N, 2 [x, y]) float (NaN when none);
+    chunk (N, H, W) depth. Returns (mask_wins (N, crop, crop) uint8,
+    sel_keypoints (N, K, 3), chunk_wins (N, crop, crop),
+    origins (N, 2 [y0, x0]) int32).
+    '''
+    n, _, h, w = masks.shape
+    rows = jnp.arange(n)
+    sel_masks = masks[rows, chosen_idx].astype(jnp.uint8)
+    sel_masks = sel_masks * has_instance[:, None, None].astype(jnp.uint8)
+    sel_kpts = keypoints[rows, chosen_idx].astype(jnp.float32)
+    sel_kpts = jnp.where(has_instance[:, None, None], sel_kpts, jnp.nan)
+
+    cx = jnp.nan_to_num(centers_xy[:, 0])
+    cy = jnp.nan_to_num(centers_xy[:, 1])
+    x0 = jnp.clip(cx.astype(jnp.int32) - crop // 2, 0, max(w - crop, 0))
+    y0 = jnp.clip(cy.astype(jnp.int32) - crop // 2, 0, max(h - crop, 0))
+
+    def one(m, c, yy, xx):
+        return (jax.lax.dynamic_slice(m, (yy, xx), (crop, crop)),
+                jax.lax.dynamic_slice(c, (yy, xx), (crop, crop)))
+
+    mask_wins, chunk_wins = jax.vmap(one)(sel_masks, chunk, y0, x0)
+    return mask_wins, sel_kpts, chunk_wins, jnp.stack([y0, x0], axis=-1)
+
+
 @jax.jit
 def gather_selected(masks, keypoints, chosen_idx, has_instance):
     '''Gather one instance per frame on device.

@@ -16,12 +16,9 @@ from moseq2_detectron_extract_tpu.io.result import (create_extract_h5,
                                                     write_extracted_chunk_to_h5)
 from moseq2_detectron_extract_tpu.io.session import Session, Stream
 from moseq2_detectron_extract_tpu.io.video import PreviewVideoWriter
-from moseq2_detectron_extract_tpu.ops.instances import (gather_selected,
-                                                        nms_and_centers,
-                                                        pack_masks_cropped,
-                                                        packbits_device,
-                                                        unpack_masks_cropped,
-                                                        unpackbits_host)
+from moseq2_detectron_extract_tpu.ops.instances import (
+    gather_selected_windows, nms_and_centers, packbits_device,
+    unpack_masks_cropped, unpackbits_host)
 from moseq2_detectron_extract_tpu.ops.preprocess import (decode_prepped_frames,
                                                          prep_raw_frames_host,
                                                          scale_raw_frames)
@@ -121,6 +118,10 @@ class ProcessFeaturesStep(PipelineStep):
     def initialize(self):
         config = self.config
         self.crop = tuple(config['crop_size'])
+        # feature-stage window around each detection (clean/moments/scalars
+        # run at this size instead of full frames); must comfortably exceed
+        # the animal + tail so every mask pixel lands inside
+        self.feature_window = int(config.get('feature_window', 160))
         true_depth = config['true_depth']
         self.compute_keypoints = partial(keypoints_to_dict, true_depth=true_depth)
         self.scalars_fn = partial(compute_scalars,
@@ -229,38 +230,44 @@ class ProcessFeaturesStep(PipelineStep):
 
         self.sub_times['sel_loop'] = self.sub_times.get('sel_loop', 0.0) + \
             _time.perf_counter() - _t1
-        sel_masks, sel_kpts = gather_selected(
-            masks_dev, keypoints_dev, jnp.asarray(chosen_idx),
-            jnp.asarray(num_instances > 0))
-        data['sel_masks'] = sel_masks          # device (N, H, W) uint8
-        data['sel_keypoints'] = sel_kpts       # device (N, K, 3)
-        data['num_instances'] = num_instances
-        # chosen-instance centers [x, y] (NaN when none): downstream moments
-        # reduce over a window around these instead of the whole frame
+        # chosen-instance centers [x, y] (NaN when none): the whole feature
+        # stage downstream runs on windows sliced around these
         sel_centers = centers[np.arange(n), chosen_idx][:, ::-1].copy()
         sel_centers[num_instances <= 0] = np.nan
-        data['sel_centers_xy'] = sel_centers
-        return data
-
-    def _compute_features(self, data):
         chunk_dev = data.get('chunk_dev')
         if chunk_dev is None:
             chunk_dev = jnp.asarray(data['chunk'])
+            data['chunk_dev'] = chunk_dev
+        crop = min(self.feature_window, chunk_dev.shape[1], chunk_dev.shape[2])
+        mask_wins, sel_kpts, raw_wins, origins = gather_selected_windows(
+            masks_dev, keypoints_dev, jnp.asarray(chosen_idx),
+            jnp.asarray(num_instances > 0),
+            jnp.asarray(sel_centers.astype('float32')), chunk_dev, crop=crop)
+        data['sel_masks'] = mask_wins          # device (N, c, c) uint8
+        data['sel_keypoints'] = sel_kpts       # device (N, K, 3)
+        data['raw_windows'] = raw_wins         # device (N, c, c) depth
+        data['win_origins'] = origins          # device (N, 2 [y0, x0])
+        data['num_instances'] = num_instances
+        return data
+
+    def _compute_features(self, data):
         import time as _time
         features = instances_to_features(
             data['sel_masks'], data['sel_keypoints'], data['num_instances'],
-            chunk_dev, self.point_tracker, self.angle_tracker,
+            data['raw_windows'], self.point_tracker, self.angle_tracker,
             debug=self.config.get('debug_feature_processing', False),
             debug_dir=self.config['output_dir'], timers=self.sub_times,
-            window_centers=data.get('sel_centers_xy'))
-        # masked depth for the scalar reductions, computed on device
+            window_origins=data['win_origins'])
+        # masked depth for the scalar reductions, computed on device; the
+        # mask is zero outside its window, so window reductions are exact
         _t = _time.perf_counter()
-        masked_frames = chunk_dev * jnp.asarray(features['masks'])
+        masked_frames = data['raw_windows'] * jnp.asarray(features['masks'])
         scalars = self.scalars_fn(masked_frames, features['features'])
         _t1 = _time.perf_counter()
         data['keypoints'] = self.compute_keypoints(
             features['keypoints'], features['cleaned_frames'],
-            features['features']['centroid'], features['features']['orientation'])
+            features['features']['centroid'], features['features']['orientation'],
+            frame_origins=features['mask_origins'])
         _t2 = _time.perf_counter()
         self.sub_times['feat_scalars'] = \
             self.sub_times.get('feat_scalars', 0.0) + (_t1 - _t)
@@ -276,7 +283,12 @@ class ProcessFeaturesStep(PipelineStep):
             raw_frames = jnp.asarray(data['chunk'])
         centroids = data['features']['features']['centroid']
         angles = data['features']['features']['orientation']
-        masks = jnp.asarray(data['features']['masks']).astype(jnp.uint8)
+        # feature masks are windows around each detection; crop them with
+        # window-local centroids (out-of-window taps are zero — a mask pixel
+        # there would have been outside its detection's window anyway)
+        mask_wins = jnp.asarray(data['features']['masks']).astype(jnp.uint8)
+        origins = np.asarray(data['win_origins'])
+        local_centroids = np.asarray(centroids, dtype='float64') - origins[:, ::-1]
         for i, count in enumerate(data['num_instances'][:len(data['frame_idxs'])]):
             if count <= 0:
                 self.write_message(
@@ -285,8 +297,9 @@ class ProcessFeaturesStep(PipelineStep):
 
         cropped = crop_and_rotate_frames(raw_frames, jnp.asarray(centroids),
                                          jnp.asarray(angles), self.crop)
-        cropped_masks = crop_and_rotate_frames(masks, jnp.asarray(centroids),
-                                               jnp.asarray(angles), self.crop)
+        cropped_masks = crop_and_rotate_frames(
+            mask_wins, jnp.asarray(local_centroids), jnp.asarray(angles),
+            self.crop)
         # the 80x80 crops are the only large device->host transfer per chunk;
         # masks travel bit-packed (8x smaller)
         data['depth_frames'] = np.asarray(
@@ -295,17 +308,13 @@ class ProcessFeaturesStep(PipelineStep):
         packed = packbits_device(cropped_masks > 0.5)
         data['mask_frames'] = unpackbits_host(packed, self.crop[1]).astype('uint8')
         if self.config.get('preview_arena_masks', True):
-            # full-res selected mask for the preview's arena overlay; only a
-            # window around the animal travels, bit-packed (~2 KB/frame vs
-            # ~22 KB for the whole packed plane — the tunnel D2H made the
-            # full plane the most expensive transfer of the crop stage)
+            # the feature-mask windows double as the preview's arena overlay:
+            # bit-packed windows travel (~3 KB/frame vs ~22 KB for the whole
+            # packed plane) and paste back to full res on host
             h, w = raw_frames.shape[1], raw_frames.shape[2]
-            win = min(128, h, w)
-            arena_packed, origins = pack_masks_cropped(
-                jnp.asarray(data['features']['masks']),
-                jnp.asarray(np.asarray(centroids, dtype='float32')), crop=win)
+            arena_packed = packbits_device(mask_wins > 0)
             data['arena_masks'] = unpack_masks_cropped(
-                arena_packed, origins, (h, w), crop=win)
+                arena_packed, origins, (h, w), crop=int(mask_wins.shape[-1]))
         return data
 
 

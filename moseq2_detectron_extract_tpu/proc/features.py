@@ -267,7 +267,7 @@ def instances_to_features(masks: np.ndarray, keypoints: np.ndarray,
                           angle_tracker: Optional[KalmanTracker],
                           debug: bool = False, debug_dir: str = '.',
                           timers: Optional[Dict[str, float]] = None,
-                          window_centers=None) -> Dict:
+                          window_origins=None) -> Dict:
     '''Feature post-processing brain (m2de/proc/proc.py:700-848).
 
     masks: (N, H, W) model mask of the selected instance (uint8/bool);
@@ -275,6 +275,16 @@ def instances_to_features(masks: np.ndarray, keypoints: np.ndarray,
     raw_frames: (N, H, W) prepped depth frames.
     With trackers: Kalman smoothing + keypoint flip votes + per-frame angle
     heuristic. Without: flip votes + iterative 180-degree angle filtering.
+
+    Windowed mode (the extraction pipeline): when ``window_origins``
+    (N, 2 [y0, x0]) is given, ``masks`` and ``raw_frames`` are (N, c, c)
+    windows around each detection (ops/instances.py:gather_selected_windows)
+    and the whole clean/moments stage runs at window size — ~8x less device
+    work than full frames. Centroids are reported in full-frame coords.
+    Equivalent to the full-frame program whenever the blob fits the window
+    (guaranteed by the detection for any mouse smaller than the window).
+    The returned ``masks``/``cleaned_frames`` are windows; consumers get the
+    origins back as ``mask_origins``.
     '''
     import time as _time
 
@@ -288,9 +298,20 @@ def instances_to_features(masks: np.ndarray, keypoints: np.ndarray,
     keypoints = np.array(np.asarray(keypoints), dtype=float)
 
     cleaned_frames = clean_frames(raw_frames, iters_tail=3)  # device array
-    features, feat_masks = get_frame_features(cleaned_frames, mask=masks, use_cc=True,
-                                              frame_threshold=3,
-                                              window_centers=window_centers)
+    if window_origins is not None:
+        feats_dev, feat_masks = _frame_features_nocc(
+            cleaned_frames, jnp.asarray(masks), 3.0)
+        origins = jnp.asarray(window_origins)
+        offset = origins[:, ::-1].astype(feats_dev['centroid'].dtype)  # x, y
+        features = {
+            'centroid': np.asarray(feats_dev['centroid'] + offset, dtype=float),
+            'orientation': np.asarray(feats_dev['orientation'], dtype=float),
+            'axis_length': np.asarray(feats_dev['axis_length'], dtype=float),
+        }
+    else:
+        features, feat_masks = get_frame_features(cleaned_frames, mask=masks,
+                                                  use_cc=True,
+                                                  frame_threshold=3)
     _t = _mark('itf_moments', _t)
 
     with np.errstate(invalid='ignore'):
@@ -347,6 +368,7 @@ def instances_to_features(masks: np.ndarray, keypoints: np.ndarray,
             return {
                 'cleaned_frames': cleaned_frames,
                 'masks': feat_masks,
+                'mask_origins': window_origins,
                 'features': features,
                 'flips': flips,
                 'keypoints': keypoints,
@@ -400,6 +422,7 @@ def instances_to_features(masks: np.ndarray, keypoints: np.ndarray,
     return {
         'cleaned_frames': cleaned_frames,
         'masks': feat_masks,
+        'mask_origins': window_origins,
         'features': features,
         'flips': flips,
         'keypoints': keypoints,

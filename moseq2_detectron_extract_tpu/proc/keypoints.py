@@ -102,11 +102,15 @@ def keypoint_attributes(keypoint_names: Optional[List[str]] = None) -> Dict[str,
 
 def keypoints_to_dict(keypoints: np.ndarray, frames: np.ndarray, centers: np.ndarray,
                       angles: np.ndarray, true_depth: float = 673.1,
-                      keypoint_names: Optional[List[str]] = None) -> Dict[str, np.ndarray]:
+                      keypoint_names: Optional[List[str]] = None,
+                      frame_origins=None) -> Dict[str, np.ndarray]:
     '''Keypoints in 4 coordinate systems + z heights (m2de/proc/keypoints.py:93-165).
 
     keypoints: (N, K, 3 [x, y, s]); frames: (N, H, W) depth used for z lookup;
-    centers: (N, 2); angles: (N,) degrees.
+    centers: (N, 2); angles: (N,) degrees. When ``frame_origins``
+    (N, 2 [y0, x0]) is given, ``frames`` are per-detection windows and the z
+    lookup shifts into window-local coords (clamping to the window edge
+    instead of the frame edge — keypoints live on the animal, inside it).
     '''
     if keypoint_names is None:
         keypoint_names = default_keypoint_names
@@ -115,10 +119,14 @@ def keypoints_to_dict(keypoints: np.ndarray, frames: np.ndarray, centers: np.nda
     nframes, nkp = keypoints.shape[0], keypoints.shape[1]
 
     with np.errstate(invalid='ignore'):
-        x_idx = np.clip(np.floor(np.nan_to_num(keypoints[:, :, 0])).astype(int),
-                        0, frames.shape[2] - 1)
-        y_idx = np.clip(np.floor(np.nan_to_num(keypoints[:, :, 1])).astype(int),
-                        0, frames.shape[1] - 1)
+        kp_x = np.nan_to_num(keypoints[:, :, 0])
+        kp_y = np.nan_to_num(keypoints[:, :, 1])
+        if frame_origins is not None:
+            origins = np.asarray(frame_origins)
+            kp_x = kp_x - origins[:, 1:2]
+            kp_y = kp_y - origins[:, 0:1]
+        x_idx = np.clip(np.floor(kp_x).astype(int), 0, frames.shape[2] - 1)
+        y_idx = np.clip(np.floor(kp_y).astype(int), 0, frames.shape[1] - 1)
         # one fancy-index gather: runs on device when frames live there, and
         # only the (N, K) z values cross to the host
         z_data = np.asarray(frames[np.arange(nframes)[:, None], y_idx, x_idx],

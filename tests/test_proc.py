@@ -521,3 +521,85 @@ class TestWindowedMoments:
             jnp.asarray(frames), jnp.asarray(frames), 3.0,
             jnp.asarray([[np.nan, np.nan]], 'float32'), crop=48)
         assert np.isnan(np.asarray(feats['centroid'])).all()
+
+
+class TestWindowedFeaturePath:
+    '''The pipeline's windowed feature stage must match the full-frame
+    program whenever the blob fits the window (ops gather_selected_windows +
+    instances_to_features(window_origins=...)).'''
+
+    def _make_data(self, rng, n=8, h=200, w=240):
+        import cv2
+        raw = np.zeros((n, h, w), 'uint8')
+        masks = np.zeros((n, h, w), 'uint8')
+        centers = np.zeros((n, 2), 'float32')
+        kpts = np.zeros((n, 8, 3))
+        for i in range(n):
+            cx, cy = int(rng.integers(40, 200)), int(rng.integers(40, 160))
+            cv2.ellipse(raw[i], (cx, cy), (26, 12), float(rng.uniform(0, 360)),
+                        0, 360, 60, -1)
+            masks[i] = (raw[i] > 0).astype('uint8')
+            centers[i] = (cx, cy)
+            kpts[i, :, 0] = cx + rng.uniform(-20, 20, 8)
+            kpts[i, :, 1] = cy + rng.uniform(-10, 10, 8)
+            kpts[i, :, 2] = 0.9
+        return raw, masks, centers, kpts
+
+    def test_windowed_matches_fullframe(self, rng):
+        from moseq2_detectron_extract_tpu.ops.instances import \
+            gather_selected_windows
+        from moseq2_detectron_extract_tpu.proc.features import \
+            instances_to_features
+        raw, masks, centers, kpts = self._make_data(rng)
+        n = len(raw)
+        ones = np.ones(n, int)
+
+        full = instances_to_features(masks, kpts.copy(), ones, raw,
+                                     None, None)
+        mask_wins, sel_kpts, raw_wins, origins = gather_selected_windows(
+            jnp.asarray(masks[:, None]), jnp.asarray(kpts[:, None]),
+            jnp.zeros(n, jnp.int32), jnp.ones(n, bool),
+            jnp.asarray(centers), jnp.asarray(raw), crop=128)
+        win = instances_to_features(mask_wins, sel_kpts, ones, raw_wins,
+                                    None, None, window_origins=origins)
+
+        np.testing.assert_allclose(win['features']['centroid'],
+                                   full['features']['centroid'],
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(win['features']['orientation'],
+                                   full['features']['orientation'],
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(win['flips']),
+                                      np.asarray(full['flips']))
+        # the windowed mask pasted back at its origin == the full-frame mask
+        wins = np.asarray(win['masks'])
+        org = np.asarray(origins)
+        full_masks = np.asarray(full['masks'])
+        for i in range(n):
+            pasted = np.zeros_like(full_masks[i])
+            y0, x0 = org[i]
+            pasted[y0:y0 + 128, x0:x0 + 128] = wins[i]
+            np.testing.assert_array_equal(pasted, full_masks[i])
+
+    def test_windowed_z_lookup_matches(self, rng):
+        from moseq2_detectron_extract_tpu.ops.instances import \
+            gather_selected_windows
+        from moseq2_detectron_extract_tpu.proc.features import clean_frames
+        from moseq2_detectron_extract_tpu.proc.keypoints import \
+            keypoints_to_dict
+        raw, masks, centers, kpts = self._make_data(rng)
+        n = len(raw)
+        cleaned_full = np.asarray(clean_frames(jnp.asarray(raw), iters_tail=3))
+        _, _, raw_wins, origins = gather_selected_windows(
+            jnp.asarray(masks[:, None]), jnp.asarray(kpts[:, None]),
+            jnp.zeros(n, jnp.int32), jnp.ones(n, bool),
+            jnp.asarray(centers), jnp.asarray(raw), crop=128)
+        cleaned_wins = clean_frames(raw_wins, iters_tail=3)
+        angles = np.zeros(n)
+        full = keypoints_to_dict(kpts, cleaned_full, centers.astype(float), angles)
+        win = keypoints_to_dict(kpts, cleaned_wins, centers.astype(float), angles,
+                                frame_origins=origins)
+        for k in full:
+            if k.endswith('_z_mm'):
+                np.testing.assert_allclose(win[k], full[k], atol=1e-5,
+                                           err_msg=k)
