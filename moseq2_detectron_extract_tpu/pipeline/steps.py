@@ -103,8 +103,13 @@ class InferenceStep(PipelineStep):
         frames = scale_raw_frames(chunk_dev, self.config['min_height'],
                                   self.config['max_height'])
         data['chunk_dev'] = chunk_dev
-        sentinel = np.iinfo(data['chunk'].dtype).max
-        data['chunk'] = np.where(data['chunk'] == sentinel, 0, data['chunk'])
+        # zero the dropout sentinels for host consumers in place (np.where
+        # would allocate + copy the whole ~200 MB chunk again)
+        chunk = data['chunk']
+        if not chunk.flags.writeable:
+            chunk = chunk.copy()
+            data['chunk'] = chunk
+        np.copyto(chunk, 0, where=(chunk == np.iinfo(chunk.dtype).max))
         data['inference'] = self.predictor(frames, return_device=True,
                                            select=True)
         self.update_progress(len(data['frame_idxs']))
