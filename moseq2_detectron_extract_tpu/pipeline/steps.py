@@ -335,7 +335,7 @@ class ResultWriterStep(PipelineStep):
         self.h5 = h5py.File(self.h5_path, 'w')
         create_extract_h5(self.h5, config, config['status_dict'],
                           param_annotations=config.get('param_annotations'))
-        self.keypoint_rows: List[dict] = []
+        self.keypoint_rows: List[str] = []  # header + one formatted line/frame
         self.reset_progress(config['nframes'])
 
     def process(self, data):
@@ -354,18 +354,17 @@ class ResultWriterStep(PipelineStep):
         write_extracted_chunk_to_h5(self.h5, results)
         self.h5.flush()
 
-        # cumulative keypoints tsv, rewritten each chunk like the reference
+        # cumulative keypoints tsv, rewritten each chunk like the reference;
+        # rows are immutable once written, so format each line exactly once
         kp = data['keypoints']
         keys = sorted(kp.keys())
+        if not self.keypoint_rows:
+            self.keypoint_rows.append('\t'.join(['frame'] + keys))
         for row_i, frame in enumerate(frame_idxs[offset:], start=offset):
-            self.keypoint_rows.append(
-                {'frame': int(frame), **{k: float(kp[k][row_i]) for k in keys}})
+            self.keypoint_rows.append('\t'.join(
+                [str(int(frame))] + [str(float(kp[k][row_i])) for k in keys]))
         with open(self.tsv_path, 'w', encoding='utf-8') as fh:
-            if self.keypoint_rows:
-                cols = list(self.keypoint_rows[0].keys())
-                fh.write('\t'.join(cols) + '\n')
-                for row in self.keypoint_rows:
-                    fh.write('\t'.join(str(row[c]) for c in cols) + '\n')
+            fh.write('\n'.join(self.keypoint_rows) + '\n')
 
         self.update_progress(len(results['frame_idxs']))
         return data['frame_idxs']

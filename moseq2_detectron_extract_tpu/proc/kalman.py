@@ -213,22 +213,29 @@ def kalman_smooth(params: KalmanParams, observations, missing,
     '''RTS smoother. Returns smoothed means/covs and lag-one covariances
     (V_{t+1, t | T} for t = 0..T-2) for EM.
 
-    ``backend`` is one of ``'scan'`` (jitted lax.scan, f64 CPU),
-    ``'native'`` (C++ core), ``'numpy'``, or None = fastest available.
+    ``backend`` is one of ``'steady'`` (Riccati-converged numpy fast path,
+    no-missing only), ``'scan'`` (jitted lax.scan, f64 CPU), ``'native'``
+    (C++ core), ``'numpy'``, or None = fastest available.
     Measured at production dims (S=60, O=20) on this image's single vCPU:
-    T=1000 scan 538 ms / numpy 714 ms / native 866 ms; T=3000 scan 1936 ms
-    / numpy 4308 ms / native 5606 ms (KALMAN_BENCH.md) — auto prefers scan,
-    then native, then numpy. ``use_native=True`` forces the C++ core
+    T=1000 steady ~45 ms / scan 538 ms / numpy 714 ms / native 866 ms
+    (KALMAN_BENCH.md) — auto prefers steady when nothing is missing, then
+    scan, native, numpy. ``use_native=True`` forces the C++ core
     (back-compat).'''
     if backend is None:
         if use_native:
             backend = 'native'
+        elif not np.any(missing):
+            backend = 'steady'
         elif _scan_available():
             backend = 'scan'
         elif _native_lib() is not None:
             backend = 'native'
         else:
             backend = 'numpy'
+    if backend == 'steady':
+        if np.any(missing):
+            raise ValueError("backend='steady' requires no missing rows")
+        return kalman_smooth_steady(params, observations)
     if backend == 'scan':
         return kalman_smooth_scan(params, observations, missing)
     use_native = backend == 'native'
@@ -279,6 +286,113 @@ def kalman_smooth(params: KalmanParams, observations, missing,
 
     return {'means': s_means, 'covs': s_covs, 'lag_one_covs': lag_ones,
             'filtered': filt}
+
+
+def kalman_smooth_steady(params: KalmanParams, observations,
+                         tol: float = 1e-12):
+    '''RTS smoother exploiting Riccati convergence (no-missing fast path).
+
+    With time-invariant params and no missing observations, the filter
+    covariance sequence converges to a fixed point after a short transient
+    (~50 steps at the 54-dim point tracker); the smoother covariances
+    likewise converge backward from T. Covariances and gains are computed
+    exactly through the transients and held at their converged values in
+    between — below ``tol`` relative change, i.e. at f64 noise — while the
+    data-dependent mean recursions (matvecs, not matmuls) still run over
+    every step. This is where EM spends its E-steps: measured 4.6 s -> ~1 s
+    for the 10-iteration init at T=1000 (KALMAN_BENCH.md).
+
+    Same contract as :func:`kalman_smooth`; only valid when nothing is
+    missing (callers fall back otherwise).
+    '''
+    A, C = params.transition, params.observation
+    Q, R = params.transition_cov, params.observation_cov
+    obs = np.asarray(observations, np.float64)
+    T = obs.shape[0]
+    s_dim = A.shape[0]
+
+    def update_cov(pp):
+        innov_cov = C @ pp @ C.T + R
+        gain = np.linalg.solve(innov_cov, C @ pp).T
+        return gain, _symmetrize(pp - gain @ C @ pp)
+
+    # --- forward covariances: exact until converged ---
+    p_pred = [np.asarray(params.initial_cov, np.float64)]
+    g0, pf0 = update_cov(p_pred[0])
+    p_filt = [pf0]
+    gains = [g0]
+    k = T  # first index at which covariances are steady
+    for t in range(1, T):
+        pp = _symmetrize(A @ p_filt[-1] @ A.T + Q)
+        gain, pf = update_cov(pp)
+        p_pred.append(pp)
+        p_filt.append(pf)
+        gains.append(gain)
+        if np.max(np.abs(pf - p_filt[-2])) <= tol * max(1.0, np.abs(pf).max()):
+            k = t
+            break
+    pf_ss, pp_ss, k_ss = p_filt[-1], p_pred[-1], gains[-1]
+
+    # --- forward means: per-step matvecs over all T ---
+    f_means = np.empty((T, s_dim))
+    pred_means = np.empty((T, s_dim))
+    pred_means[0] = params.initial_mean
+    f_means[0] = params.initial_mean + gains[0] @ (obs[0] - C @ params.initial_mean)
+    for t in range(1, T):
+        gain = gains[t] if t <= k else k_ss
+        pm = A @ f_means[t - 1]
+        pred_means[t] = pm
+        f_means[t] = pm + gain @ (obs[t] - C @ pm)
+
+    # materialized covariance sequences (steady beyond the transient)
+    f_covs = np.empty((T, s_dim, s_dim))
+    p_covs = np.empty((T, s_dim, s_dim))
+    n_exact = len(p_filt)
+    f_covs[:n_exact] = p_filt
+    p_covs[:n_exact] = p_pred
+    f_covs[n_exact:] = pf_ss
+    p_covs[n_exact:] = pp_ss
+
+    s_means = np.empty((T, s_dim))
+    s_covs = np.empty((T, s_dim, s_dim))
+    lag_ones = np.empty((max(T - 1, 0), s_dim, s_dim))
+    s_means[-1] = f_means[-1]
+    s_covs[-1] = f_covs[-1]
+
+    if T >= 2:
+        j_ss = np.linalg.solve(pp_ss, (pf_ss @ A.T).T).T
+        j_exact = [np.linalg.solve(p_pred[t + 1], (p_filt[t] @ A.T).T).T
+                   for t in range(n_exact - 1)]
+
+        # backward covariances: exact until converged (moving back from T),
+        # steady in the middle, exact again through the forward transient
+        v_next = s_covs[-1]
+        converged_at = None
+        for t in range(T - 2, -1, -1):
+            j_t = j_exact[t] if t < n_exact - 1 else j_ss
+            if converged_at is None or t < n_exact - 1:
+                v_t = _symmetrize(f_covs[t] + j_t @ (v_next - p_covs[t + 1]) @ j_t.T)
+                lag_ones[t] = v_next @ j_t.T
+                if (converged_at is None and t >= n_exact - 1
+                        and np.max(np.abs(v_t - v_next))
+                        <= tol * max(1.0, np.abs(v_t).max())):
+                    converged_at = t
+                    v_ss, lag_ss = v_t, v_t @ j_ss.T
+                s_covs[t] = v_t
+                v_next = v_t
+            else:
+                s_covs[t] = v_ss
+                lag_ones[t] = lag_ss
+                v_next = v_ss
+
+        # backward means: per-step matvecs over all T
+        for t in range(T - 2, -1, -1):
+            j_t = j_exact[t] if t < n_exact - 1 else j_ss
+            s_means[t] = f_means[t] + j_t @ (s_means[t + 1] - pred_means[t + 1])
+
+    return {'means': s_means, 'covs': s_covs, 'lag_one_covs': lag_ones,
+            'filtered': {'means': f_means, 'covs': f_covs,
+                         'pred_means': pred_means, 'pred_covs': p_covs}}
 
 
 def _scan_smoother():

@@ -423,6 +423,48 @@ class TestNativeKalman:
                                        s_scan['filtered'][k], atol=1e-8,
                                        err_msg=f'filtered/{k}')
 
+    def test_steady_backend_matches_numpy(self, rng):
+        '''The Riccati-converged steady-state smoother (the no-missing fast
+        path EM and per-chunk smoothing take) must agree with the numpy
+        reference to fp64 round-off, including transients at both ends.'''
+        from moseq2_detectron_extract_tpu.proc import kalman as K
+        S, O, T = 12, 4, 300
+        A = np.eye(S) + np.diag(np.ones(S - 1) * 0.1, 1)
+        C = np.zeros((O, S))
+        C[np.arange(O), np.arange(O) * 3] = 1
+        params = K.KalmanParams(A, C, np.eye(S) * 0.01, np.eye(O),
+                                np.zeros(S), np.eye(S))
+        obs = rng.normal(0, 1, (T, O))
+        missing = np.zeros(T, bool)
+        s_np = K.kalman_smooth(params, obs, missing, backend='numpy')
+        s_st = K.kalman_smooth(params, obs, missing, backend='steady')
+        for k in ('means', 'covs', 'lag_one_covs'):
+            np.testing.assert_allclose(s_np[k], s_st[k], atol=1e-8,
+                                       err_msg=k)
+        for k in ('means', 'covs', 'pred_means', 'pred_covs'):
+            np.testing.assert_allclose(s_np['filtered'][k],
+                                       s_st['filtered'][k], atol=1e-8,
+                                       err_msg=f'filtered/{k}')
+        # auto-selection: no missing -> steady; any missing -> not steady
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            K.kalman_smooth(params, obs, np.ones(T, bool), backend='steady')
+
+    def test_steady_backend_short_series(self, rng):
+        '''T shorter than the Riccati transient: fully exact, still equal.'''
+        from moseq2_detectron_extract_tpu.proc import kalman as K
+        S, O, T = 6, 2, 8
+        A = np.eye(S) + np.diag(np.ones(S - 1) * 0.2, 1)
+        C = np.zeros((O, S))
+        C[np.arange(O), np.arange(O) * 3] = 1
+        params = K.KalmanParams(A, C, np.eye(S) * 0.5, np.eye(O) * 2,
+                                np.zeros(S), np.eye(S))
+        obs = rng.normal(0, 1, (T, O))
+        s_np = K.kalman_smooth(params, obs, np.zeros(T, bool), backend='numpy')
+        s_st = K.kalman_smooth(params, obs, np.zeros(T, bool), backend='steady')
+        for k in ('means', 'covs', 'lag_one_covs'):
+            np.testing.assert_allclose(s_np[k], s_st[k], atol=1e-8, err_msg=k)
+
 
 class TestStats:
     def test_exclude_outliers_family(self):
