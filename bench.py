@@ -174,17 +174,17 @@ def main():
     # BENCH_MODEL=random for the old random-init mode (detections capped at
     # 1; same compute per frame — the whole pipeline is static-shape).
     model_dir = os.environ.get('BENCH_MODEL')
-    if not model_dir:
-        committed = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 'benchmarks', 'bench_model')
-        if os.path.exists(os.path.join(committed, 'params_f16.npz')):
-            model_dir = committed
-    if model_dir and model_dir != 'random':
-        predictor = Predictor.from_model_dir(model_dir, batch_size=batch_size,
-                                             score_threshold=0.5)
-        weights_used = model_dir
-    else:
-        cfg = ModelConfig(test_detections_per_image=1)
+    if os.environ.get('BENCH_TINY'):
+        model_dir = 'tiny'
+    if model_dir == 'tiny':
+        # last-resort shape: tiny model, random weights — only used by the
+        # CPU fallback so a labeled record exists when the device tunnel is
+        # dead; the value is NOT comparable to the TPU headline
+        cfg = ModelConfig(
+            image_size=64, resnet_stage_blocks=(1, 1, 1, 1), resnet_width=16,
+            fpn_channels=32, box_fc_dim=32, mask_conv_dims=(16,),
+            keypoint_conv_dims=(16,), rpn_pre_nms_topk_test=64,
+            rpn_post_nms_topk_test=16, test_detections_per_image=2)
         model = MaskKeypointRCNN(cfg)
         import jax.numpy as jnp
         images = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
@@ -192,7 +192,29 @@ def main():
                             method=MaskKeypointRCNN.inference)
         predictor = Predictor(cfg, params, batch_size=batch_size,
                               score_threshold=0.0)
-        weights_used = 'random-init (BENCH_MODEL=random)'
+        weights_used = 'random-init tiny config (BENCH_TINY)'
+    else:
+        if not model_dir:
+            committed = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                'benchmarks', 'bench_model')
+            if os.path.exists(os.path.join(committed, 'params_f16.npz')):
+                model_dir = committed
+        if model_dir and model_dir != 'random':
+            predictor = Predictor.from_model_dir(
+                model_dir, batch_size=batch_size, score_threshold=0.5)
+            weights_used = model_dir
+        else:
+            cfg = ModelConfig(test_detections_per_image=1)
+            model = MaskKeypointRCNN(cfg)
+            import jax.numpy as jnp
+            images = jnp.zeros((1, cfg.image_size, cfg.image_size, 3),
+                               jnp.float32)
+            params = model.init(jax.random.PRNGKey(0), images,
+                                method=MaskKeypointRCNN.inference)
+            predictor = Predictor(cfg, params, batch_size=batch_size,
+                                  score_threshold=0.0)
+            weights_used = 'random-init (BENCH_MODEL=random)'
 
     work = tempfile.mkdtemp(prefix='bench_')
     bground = make_background()
@@ -224,6 +246,8 @@ def main():
         'nframes': n,
         'weights': weights_used,
     }
+    if os.environ.get('BENCH_CPU_FALLBACK'):
+        headline['backend'] = 'cpu-fallback (device tunnel unreachable)'
     print(json.dumps(headline), flush=True)
 
     if os.environ.get('BENCH_NO_EXTRAS'):
@@ -249,5 +273,40 @@ def main():
     }), flush=True)
 
 
+def _device_init_hangs() -> bool:
+    '''Probe device-backend init in a subprocess with a hard timeout.
+
+    The tunneled TPU backend can hang indefinitely at init when the tunnel
+    is down (observed 2026-08-17: jax.devices() never returns). A hung init
+    cannot be cancelled in-process, so probe in a child first.
+    '''
+    import subprocess
+    try:
+        probe = subprocess.run(
+            [sys.executable, '-c', 'import jax; jax.devices()'],
+            capture_output=True, timeout=int(os.environ.get(
+                'BENCH_DEVICE_PROBE_TIMEOUT', 150)))
+        return probe.returncode != 0
+    except subprocess.TimeoutExpired:
+        return True
+
+
 if __name__ == '__main__':
+    # a benchmark record must exist even when the device tunnel is dead:
+    # fall back to the CPU backend on a small frame count and say so in the
+    # JSON rather than hanging into the driver's window (round-2 lesson).
+    if (not os.environ.get('BENCH_CPU_FALLBACK')
+            and os.environ.get('JAX_PLATFORMS', '') != 'cpu'
+            and _device_init_hangs()):
+        os.environ['BENCH_CPU_FALLBACK'] = '1'
+        os.environ['JAX_PLATFORMS'] = 'cpu'
+        os.environ.setdefault('BENCH_TINY', '1')  # CPU can't run the R50
+        os.environ.setdefault('BENCH_FRAMES', '300')
+        os.environ.setdefault('BENCH_WARM_FRAMES', '100')
+        os.environ.setdefault('BENCH_BATCH', '20')
+        os.environ.setdefault('BENCH_NO_EXTRAS', '1')
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+    if os.environ.get('BENCH_CPU_FALLBACK'):
+        import jax
+        jax.config.update('jax_platforms', 'cpu')  # site hook prepends axon
     main()

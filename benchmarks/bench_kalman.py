@@ -64,6 +64,10 @@ def main():
         if _scan_available():
             row['scan_ms'] = timeit(lambda: kalman_smooth_scan(
                 params, obs, miss)) * 1000
+        # the steady fast path only applies with nothing missing (the EM /
+        # every-frame-detected regime); time it on an all-observed series
+        row['steady_nomiss_ms'] = timeit(lambda: kalman_smooth(
+            params, obs, np.zeros(T, bool), backend='steady')) * 1000
         out[f'T={T}'] = {k: round(v, 1) for k, v in row.items()}
 
     # EM as the pipeline runs it: 10 iterations on the init chunk
