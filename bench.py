@@ -242,6 +242,10 @@ def main():
         'vs_baseline': round(fps / BASELINE_FPS, 4),
         'stage_busy_s': {k: round(v['busy_s'], 2)
                          for k, v in stage_stats.items()},
+        # wall busy is contention-inflated on a 1-core host and includes
+        # device waits; cpu_s is the thread's actual host compute
+        'stage_cpu_s': {k: round(v.get('cpu_s', 0.0), 2)
+                        for k, v in stage_stats.items()},
         'elapsed_s': round(elapsed, 2),
         'nframes': n,
         'weights': weights_used,

@@ -100,6 +100,7 @@ def extract_session(session: Session, config: dict) -> str:
         status_dict['stage_stats'] = {
             step.step_name.strip(): {
                 'busy_s': round(step.busy_seconds, 3),
+                'cpu_s': round(step.cpu_seconds, 3),
                 'chunks': step.items_processed,
             } for step in pipeline.steps
         }

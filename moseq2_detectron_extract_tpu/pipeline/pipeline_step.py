@@ -28,6 +28,12 @@ class PipelineStep(threading.Thread):
         self.is_complete = threading.Event()
         self.error_info: Optional[str] = None
         self.busy_seconds = 0.0
+        # host-CPU seconds this stage's thread actually consumed: on a
+        # single-core host the wall-clock busy time above is inflated by
+        # preemption from sibling stages (and understates nothing), while
+        # cpu_seconds attributes real compute; device waits show up in the
+        # wall number only
+        self.cpu_seconds = 0.0
         self.items_processed = 0
 
     # -- hooks ---------------------------------------------------------------
@@ -76,11 +82,13 @@ class PipelineStep(threading.Thread):
                 gen = self.generate()
                 while not self.shutdown_event.is_set():
                     t0 = time.perf_counter()
+                    c0 = time.thread_time()
                     try:
                         item = next(gen)
                     except StopIteration:
                         break
                     self.busy_seconds += time.perf_counter() - t0
+                    self.cpu_seconds += time.thread_time() - c0
                     self.items_processed += 1
                     self._forward(item)
             else:
@@ -92,8 +100,10 @@ class PipelineStep(threading.Thread):
                     if data is None:
                         break
                     t0 = time.perf_counter()
+                    c0 = time.thread_time()
                     result = self.process(data)
                     self.busy_seconds += time.perf_counter() - t0
+                    self.cpu_seconds += time.thread_time() - c0
                     self.items_processed += 1
                     if result is not None:
                         self._forward(result)
