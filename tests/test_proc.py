@@ -578,7 +578,9 @@ class TestWindowedFeaturePath:
         kpts = np.zeros((n, 8, 3))
         for i in range(n):
             cx, cy = int(rng.integers(40, 200)), int(rng.integers(40, 160))
-            cv2.ellipse(raw[i], (cx, cy), (26, 12), float(rng.uniform(0, 360)),
+            # semi-minor must comfortably survive clean_frames' 3x 9x9
+            # opening (~12 px erosion depth)
+            cv2.ellipse(raw[i], (cx, cy), (28, 20), float(rng.uniform(0, 360)),
                         0, 360, 60, -1)
             masks[i] = (raw[i] > 0).astype('uint8')
             centers[i] = (cx, cy)
@@ -645,3 +647,29 @@ class TestWindowedFeaturePath:
             if k.endswith('_z_mm'):
                 np.testing.assert_allclose(win[k], full[k], atol=1e-5,
                                            err_msg=k)
+
+    def test_windowed_no_detection_frames(self, rng):
+        '''Frames without any instance (NaN centers, has_instance False)
+        flow through the windowed path as NaN features + zero masks.'''
+        from moseq2_detectron_extract_tpu.ops.instances import \
+            gather_selected_windows
+        from moseq2_detectron_extract_tpu.proc.features import \
+            instances_to_features
+        raw, masks, centers, kpts = self._make_data(rng, n=6)
+        n = len(raw)
+        num = np.ones(n, int)
+        num[2] = 0
+        num[5] = 0
+        centers = centers.copy()
+        centers[[2, 5]] = np.nan
+        mask_wins, sel_kpts, raw_wins, origins = gather_selected_windows(
+            jnp.asarray(masks[:, None]), jnp.asarray(kpts[:, None]),
+            jnp.zeros(n, jnp.int32), jnp.asarray(num > 0),
+            jnp.asarray(centers), jnp.asarray(raw), crop=128)
+        assert np.asarray(mask_wins)[2].sum() == 0
+        assert np.isnan(np.asarray(sel_kpts)[5]).all()
+        out = instances_to_features(mask_wins, sel_kpts, num, raw_wins,
+                                    None, None, window_origins=origins)
+        cents = out['features']['centroid']
+        assert np.isnan(cents[2]).all() and np.isnan(cents[5]).all()
+        assert np.isfinite(cents[[0, 1, 3, 4]]).all()
