@@ -16,10 +16,13 @@ class FPN(nn.Module):
     out_channels: int = 256
     norm: str = 'gn'
     fuse_type: str = 'avg'
+    dtype: jnp.dtype = jnp.float32
 
     def _maybe_norm(self, x, name):
         if self.norm == 'gn':
-            return nn.GroupNorm(num_groups=32, epsilon=1e-5, name=name)(x)
+            # flax computes the group statistics in >=f32 either way
+            return nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                                dtype=self.dtype, name=name)(x)
         return x
 
     @nn.compact
@@ -28,6 +31,7 @@ class FPN(nn.Module):
         laterals = []
         for i, name in enumerate(names):
             lat = nn.Conv(self.out_channels, (1, 1), use_bias=self.norm != 'gn',
+                          dtype=self.dtype,
                           name=f'lateral{i + 2}')(bottom_up[name])
             lat = self._maybe_norm(lat, f'lateral_norm{i + 2}')
             laterals.append(lat)
@@ -45,7 +49,8 @@ class FPN(nn.Module):
         outputs = []
         for i, feat in enumerate(results):
             out = nn.Conv(self.out_channels, (3, 3), padding=1,
-                          use_bias=self.norm != 'gn', name=f'output{i + 2}')(feat)
+                          use_bias=self.norm != 'gn', dtype=self.dtype,
+                          name=f'output{i + 2}')(feat)
             out = self._maybe_norm(out, f'output_norm{i + 2}')
             outputs.append(out)
 

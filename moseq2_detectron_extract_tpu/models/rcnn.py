@@ -38,12 +38,18 @@ class MaskKeypointRCNN(nn.Module):
     cfg: ModelConfig
 
     def setup(self):
+        # compute dtype threads into every conv/norm: with flax's default
+        # dtype=None, f32 params PROMOTE a bf16 input back to f32, so the
+        # whole backbone silently ran f32 before (casting only the input is
+        # not enough)
         self.backbone = ResNet(depth=self.cfg.resnet_depth,
                                norm=self.cfg.backbone_norm,
                                stage_blocks=self.cfg.resnet_stage_blocks,
-                               width=self.cfg.resnet_width)
+                               width=self.cfg.resnet_width,
+                               dtype=self._compute_dtype())
         self.fpn = FPN(out_channels=self.cfg.fpn_channels, norm=self.cfg.fpn_norm,
-                       fuse_type=self.cfg.fpn_fuse_type)
+                       fuse_type=self.cfg.fpn_fuse_type,
+                       dtype=self._compute_dtype())
         num_anchors = len(self.cfg.anchor_sizes[0]) * len(self.cfg.anchor_aspect_ratios)
         self.rpn_head = RPNHead(num_anchors=num_anchors, conv_dim=self.cfg.fpn_channels)
         self.box_head = BoxHead(num_classes=self.cfg.num_classes,

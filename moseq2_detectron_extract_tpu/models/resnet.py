@@ -17,8 +17,14 @@ class FrozenBatchNorm(nn.Module):
 
     All four tensors are parameters initialized to identity; they train only
     if the optimizer chooses to (the reference keeps them frozen).
+
+    The affine constants fold in f32, then cast to ``dtype`` so a bf16
+    residual stream STAYS bf16 — without the cast, f32 params promote every
+    activation back to f32 and the whole "bf16 backbone" silently runs f32
+    (measured ~7.5% backbone MFU before the fix).
     '''
     eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -28,14 +34,16 @@ class FrozenBatchNorm(nn.Module):
         mean = self.param('mean', nn.initializers.zeros, (c,))
         var = self.param('var', nn.initializers.ones, (c,))
         inv = scale / jnp.sqrt(var + self.eps)
-        return x * inv + (bias - mean * inv)
+        return x * inv.astype(self.dtype) + (bias - mean * inv).astype(self.dtype)
 
 
-def _norm_layer(norm: str):
+def _norm_layer(norm: str, dtype: jnp.dtype = jnp.float32):
     if norm == 'frozen_bn':
-        return FrozenBatchNorm()
+        return FrozenBatchNorm(dtype=dtype)
     if norm == 'gn':
-        return nn.GroupNorm(num_groups=32, epsilon=1e-5)  # torch GN eps
+        # torch GN eps; flax computes the statistics in >=f32 regardless of
+        # the compute dtype, so bf16 here only affects the affine output
+        return nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=dtype)
     raise ValueError(f'unknown norm {norm}')
 
 
@@ -46,25 +54,28 @@ class Bottleneck(nn.Module):
     bottleneck_channels: int
     stride: int = 1
     norm: str = 'frozen_bn'
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         shortcut = x
         if x.shape[-1] != self.out_channels or self.stride != 1:
             shortcut = nn.Conv(self.out_channels, (1, 1), strides=self.stride,
-                               use_bias=False, name='shortcut')(x)
-            shortcut = _norm_layer(self.norm)(shortcut)
+                               use_bias=False, dtype=self.dtype,
+                               name='shortcut')(x)
+            shortcut = _norm_layer(self.norm, self.dtype)(shortcut)
 
         y = nn.Conv(self.bottleneck_channels, (1, 1), strides=self.stride,
-                    use_bias=False, name='conv1')(x)
-        y = _norm_layer(self.norm)(y)
+                    use_bias=False, dtype=self.dtype, name='conv1')(x)
+        y = _norm_layer(self.norm, self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.bottleneck_channels, (3, 3), padding=1,
-                    use_bias=False, name='conv2')(y)
-        y = _norm_layer(self.norm)(y)
+                    use_bias=False, dtype=self.dtype, name='conv2')(y)
+        y = _norm_layer(self.norm, self.dtype)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.out_channels, (1, 1), use_bias=False, name='conv3')(y)
-        y = _norm_layer(self.norm)(y)
+        y = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                    dtype=self.dtype, name='conv3')(y)
+        y = _norm_layer(self.norm, self.dtype)(y)
         return nn.relu(y + shortcut)
 
 
@@ -78,6 +89,7 @@ class ResNet(nn.Module):
     norm: str = 'frozen_bn'
     stage_blocks: Optional[Tuple[int, int, int, int]] = None
     width: int = 64
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -92,8 +104,9 @@ class ResNet(nn.Module):
 
         # stem: 7x7/2 + maxpool/2
         w = self.width
-        y = nn.Conv(w, (7, 7), strides=2, padding=3, use_bias=False, name='stem_conv')(x)
-        y = _norm_layer(self.norm)(y)
+        y = nn.Conv(w, (7, 7), strides=2, padding=3, use_bias=False,
+                    dtype=self.dtype, name='stem_conv')(x)
+        y = _norm_layer(self.norm, self.dtype)(y)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -105,6 +118,7 @@ class ResNet(nn.Module):
             stride = 1 if stage == 0 else 2
             for block in range(nblocks):
                 y = Bottleneck(out_c, mid_c, stride=stride if block == 0 else 1,
-                               norm=self.norm, name=f'res{stage + 2}_{block}')(y)
+                               norm=self.norm, dtype=self.dtype,
+                               name=f'res{stage + 2}_{block}')(y)
             outputs[f'res{stage + 2}'] = y
         return outputs

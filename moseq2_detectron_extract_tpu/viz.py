@@ -78,14 +78,19 @@ def stack_videos(videos, orientation: str = 'horizontal') -> np.ndarray:
 # fast drawing (m2de/viz.py:132-294)
 # ---------------------------------------------------------------------------
 
+_DEFAULT_NAME_TO_IDX = {n: i for i, n in enumerate(default_keypoint_names)}
+
+
 def draw_keypoints(image: np.ndarray, keypoints: np.ndarray,
                    names: Optional[Sequence[str]] = None,
                    draw_skeleton: bool = True) -> np.ndarray:
     '''Draw keypoint dots + skeleton onto an RGB uint8 image in place.'''
     if not HAS_CV2:
         return image
-    names = list(names or default_keypoint_names)
-    name_to_idx = {n: i for i, n in enumerate(names)}
+    if names is None:  # called once per frame: avoid rebuilding the map
+        name_to_idx = _DEFAULT_NAME_TO_IDX
+    else:
+        name_to_idx = {n: i for i, n in enumerate(names)}
     for ki, (x, y, *rest) in enumerate(np.atleast_2d(keypoints)):
         if not (np.isfinite(x) and np.isfinite(y)):
             continue
