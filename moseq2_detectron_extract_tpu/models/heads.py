@@ -13,15 +13,21 @@ import jax.numpy as jnp
 
 
 class BoxHead(nn.Module):
-    '''Flatten -> 2x FC(1024) -> class logits (C+1) + box deltas (C*4).'''
+    '''Flatten -> 2x FC(1024) -> class logits (C+1) + box deltas (C*4).
+
+    ``dtype`` is the hidden compute dtype (AMP): the big FC matmuls run in
+    it while the output projections keep flax's promote-to-f32 default, so
+    scores/deltas leave in f32.
+    '''
     num_classes: int = 1
     fc_dim: int = 1024
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         x = x.reshape(x.shape[0], -1)
-        x = nn.relu(nn.Dense(self.fc_dim, name='fc1')(x))
-        x = nn.relu(nn.Dense(self.fc_dim, name='fc2')(x))
+        x = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype, name='fc1')(x))
+        x = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype, name='fc2')(x))
         cls_logits = nn.Dense(self.num_classes + 1, name='cls_score')(x)
         box_deltas = nn.Dense(self.num_classes * 4, name='bbox_pred')(x)
         return cls_logits, box_deltas
@@ -31,13 +37,16 @@ class MaskHead(nn.Module):
     '''4x conv(256) -> deconv 2x -> 1x1 conv -> per-class mask logits.'''
     num_classes: int = 1
     conv_dims: Tuple[int, ...] = (256, 256, 256, 256)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         for i, dim in enumerate(self.conv_dims):
-            x = nn.relu(nn.Conv(dim, (3, 3), padding=1, name=f'mask_fcn{i + 1}')(x))
+            x = nn.relu(nn.Conv(dim, (3, 3), padding=1, dtype=self.dtype,
+                                name=f'mask_fcn{i + 1}')(x))
         x = nn.relu(nn.ConvTranspose(self.conv_dims[-1], (2, 2), strides=(2, 2),
-                                     name='deconv')(x))
+                                     dtype=self.dtype, name='deconv')(x))
+        # final 1x1 keeps the promote-to-f32 default: mask logits leave f32
         return nn.Conv(self.num_classes, (1, 1), name='predictor')(x)
 
 
@@ -45,11 +54,15 @@ class KeypointHead(nn.Module):
     '''8x conv(512) -> deconv 2x -> bilinear 2x -> K heatmap logits.'''
     num_keypoints: int = 8
     conv_dims: Tuple[int, ...] = (512,) * 8
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         for i, dim in enumerate(self.conv_dims):
-            x = nn.relu(nn.Conv(dim, (3, 3), padding=1, name=f'conv_fcn{i + 1}')(x))
+            x = nn.relu(nn.Conv(dim, (3, 3), padding=1, dtype=self.dtype,
+                                name=f'conv_fcn{i + 1}')(x))
+        # final deconv keeps the promote-to-f32 default: the heatmap argmax/
+        # interpolation downstream wants f32 resolution
         x = nn.ConvTranspose(self.num_keypoints, (4, 4), strides=(2, 2),
                              name='score_lowres')(x)
         n, h, w, c = x.shape

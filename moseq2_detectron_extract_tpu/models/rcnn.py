@@ -51,15 +51,20 @@ class MaskKeypointRCNN(nn.Module):
                        fuse_type=self.cfg.fpn_fuse_type,
                        dtype=self._compute_dtype())
         num_anchors = len(self.cfg.anchor_sizes[0]) * len(self.cfg.anchor_aspect_ratios)
-        self.rpn_head = RPNHead(num_anchors=num_anchors, conv_dim=self.cfg.fpn_channels)
+        self.rpn_head = RPNHead(num_anchors=num_anchors,
+                                conv_dim=self.cfg.fpn_channels,
+                                dtype=self._compute_dtype())
         self.box_head = BoxHead(num_classes=self.cfg.num_classes,
-                                fc_dim=self.cfg.box_fc_dim)
+                                fc_dim=self.cfg.box_fc_dim,
+                                dtype=self._compute_dtype())
         if self.cfg.mask_on:
             self.mask_head = MaskHead(num_classes=self.cfg.num_classes,
-                                      conv_dims=self.cfg.mask_conv_dims)
+                                      conv_dims=self.cfg.mask_conv_dims,
+                                      dtype=self._compute_dtype())
         if self.cfg.keypoint_on:
             self.keypoint_head = KeypointHead(num_keypoints=self.cfg.num_keypoints,
-                                              conv_dims=self.cfg.keypoint_conv_dims)
+                                              conv_dims=self.cfg.keypoint_conv_dims,
+                                              dtype=self._compute_dtype())
 
     # ------------------------------------------------------------------ utils
     def _compute_dtype(self):

@@ -21,10 +21,14 @@ class RPNHead(nn.Module):
     '''Shared 3x3 conv + 1x1 objectness / 1x1 anchor-deltas heads.'''
     num_anchors: int
     conv_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray]):
-        conv = nn.Conv(self.conv_dim, (3, 3), padding=1, name='conv')
+        # hidden conv in the AMP dtype; the 1x1 output convs keep flax's
+        # promote-to-f32 default so objectness/deltas leave f32
+        conv = nn.Conv(self.conv_dim, (3, 3), padding=1, dtype=self.dtype,
+                       name='conv')
         obj = nn.Conv(self.num_anchors, (1, 1), name='objectness')
         deltas = nn.Conv(self.num_anchors * 4, (1, 1), name='deltas')
         logits, bbox_deltas = [], []
