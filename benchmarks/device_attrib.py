@@ -152,6 +152,16 @@ def main():
                                         (args.frame, args.frame)),
         params, frames, image_sizes, inner=args.reps)
     rows.append(('predictor_step (pre+post)', dt, dt - prev))
+    prev = dt
+
+    # + fused instance selection (mask-IoU NMS + centers inside the same
+    # program — the extraction pipeline's path, Predictor select=True)
+    dt = timed_device_loop(
+        lambda p, x, s: pred._step_impl(x.astype(jnp.uint8),
+                                        (args.frame, args.frame),
+                                        with_select=True),
+        params, frames, image_sizes, inner=args.reps)
+    rows.append(('predictor_step+select', dt, dt - prev))
 
     # FLOPs / MFU from XLA cost analysis of the full inference program
     lowered = jax.jit(
@@ -166,8 +176,26 @@ def main():
         flops, bytes_acc = float('nan'), float('nan')
         print(f'cost_analysis unavailable: {exc}', file=sys.stderr)
 
-    full_dt = rows[-2][1]
-    step_dt = rows[-1][1]
+    # feature-stage window economics: clean_frames on 160px detection
+    # windows vs full ROI frames (the round-3 windowed feature stage)
+    from moseq2_detectron_extract_tpu.proc.features import clean_frames
+    rng = np.random.default_rng(2)
+    full_frames = jnp.asarray(rng.integers(
+        0, 100, (b, args.frame, args.frame), dtype=np.uint8))
+    wins = jnp.asarray(rng.integers(0, 100, (b, 160, 160), dtype=np.uint8))
+    clean_full_dt = timed_device_loop(
+        lambda p, x, s: jnp.sum(clean_frames(x.astype(jnp.uint8),
+                                             iters_tail=3)
+                                .astype(jnp.float32)),
+        params, full_frames, image_sizes, inner=args.reps)
+    clean_win_dt = timed_device_loop(
+        lambda p, x, s: jnp.sum(clean_frames(x.astype(jnp.uint8),
+                                             iters_tail=3)
+                                .astype(jnp.float32)),
+        params, wins, image_sizes, inner=args.reps)
+
+    full_dt = rows[-3][1]
+    step_dt = rows[-2][1]
     peak = 197e12  # v5e bf16 peak FLOP/s
     lines = [
         '# Device-program attribution',
@@ -191,6 +219,9 @@ def main():
         f'- MFU at full-inference time: {flops / full_dt / peak * 100:.2f}% '
         f'of {peak / 1e12:.0f} TF/s',
         f'- HBM BW implied: {bytes_acc / full_dt / 1e9:.1f} GB/s',
+        f'- clean_frames {args.frame}px full: {clean_full_dt * 1000:.1f} ms '
+        f'/batch vs 160px windows: {clean_win_dt * 1000:.1f} ms '
+        f'({clean_full_dt / max(clean_win_dt, 1e-9):.1f}x)',
     ]
     report = '\n'.join(lines)
     print(report)
