@@ -169,12 +169,14 @@ def main():
     # BENCH_MODEL: a trained model dir. Defaults to the COMMITTED
     # production-config checkpoint (benchmarks/bench_model: trained by
     # benchmarks/overfit_ap.py on the TPU to AP50 bbox/segm/kp =
-    # 90.6/90.6/94.9, stored as f16 npz) so the headline number measures
+    # 90.6/90.6/94.9 — measured under the pre-bf16-fix effective-f32
+    # inference; re-validate after AMP changes) so the headline measures
     # honest detection density at the production threshold 0.5. Set
     # BENCH_MODEL=random for the old random-init mode (detections capped at
     # 1; same compute per frame — the whole pipeline is static-shape).
     model_dir = os.environ.get('BENCH_MODEL')
-    if os.environ.get('BENCH_TINY'):
+    if os.environ.get('BENCH_TINY') and not model_dir:
+        # an explicit BENCH_MODEL always wins over the tiny fallback shape
         model_dir = 'tiny'
     if model_dir == 'tiny':
         # last-resort shape: tiny model, random weights — only used by the
@@ -305,12 +307,16 @@ if __name__ == '__main__':
         os.environ['BENCH_CPU_FALLBACK'] = '1'
         os.environ['JAX_PLATFORMS'] = 'cpu'
         os.environ.setdefault('BENCH_TINY', '1')  # CPU can't run the R50
+        os.environ.pop('BENCH_MODEL', None)       # R50 weights can't run either
         os.environ.setdefault('BENCH_FRAMES', '300')
         os.environ.setdefault('BENCH_WARM_FRAMES', '100')
         os.environ.setdefault('BENCH_BATCH', '20')
         os.environ.setdefault('BENCH_NO_EXTRAS', '1')
         os.execv(sys.executable, [sys.executable] + sys.argv)
-    if os.environ.get('BENCH_CPU_FALLBACK'):
+    if os.environ.get('JAX_PLATFORMS', '') == 'cpu':
+        # the axon site hook force-prepends the device platform over the env
+        # var; pin CPU explicitly whenever CPU was requested (fallback or a
+        # manual JAX_PLATFORMS=cpu run with the tunnel down)
         import jax
-        jax.config.update('jax_platforms', 'cpu')  # site hook prepends axon
+        jax.config.update('jax_platforms', 'cpu')
     main()

@@ -125,9 +125,11 @@ class Predictor:
             result.update(keep=keep, centers=centers, mask_iou=iou)
         return result
 
-    @functools.partial(jax.jit, static_argnames=('self', 'frame_shape'))
-    def _step(self, frames, frame_shape: Tuple[int, int]):
-        return self._step_impl(frames, frame_shape)
+    @functools.partial(jax.jit,
+                       static_argnames=('self', 'frame_shape', 'with_select'))
+    def _step(self, frames, frame_shape: Tuple[int, int],
+              with_select: bool = False):
+        return self._step_impl(frames, frame_shape, with_select=with_select)
 
     @functools.partial(jax.jit,
                        static_argnames=('self', 'frame_shape', 'with_select'))
@@ -151,9 +153,12 @@ class Predictor:
             lambda: self._chunk_step(frames, frame_shape,
                                      with_select=with_select), attempts)
 
-    def _step_with_retry(self, batch, frame_shape, attempts: int = 3):
+    def _step_with_retry(self, batch, frame_shape, attempts: int = 3,
+                         with_select: bool = False):
         '''Retry wrapper for the per-batch program.'''
-        return self._retry(lambda: self._step(batch, frame_shape), attempts)
+        return self._retry(
+            lambda: self._step(batch, frame_shape, with_select=with_select),
+            attempts)
 
     def _retry(self, fn, attempts: int = 3):
         '''Remote-compile services can drop connections transiently; retry.'''
@@ -207,7 +212,7 @@ class Predictor:
             if pad:  # only when n < batch_size
                 batch = jnp.concatenate(
                     [batch, jnp.zeros((pad, h, w), batch.dtype)])
-            out = self._step_with_retry(batch, (h, w))
+            out = self._step_with_retry(batch, (h, w), with_select=select)
             if start + self.batch_size > n:
                 keep = n - start
                 skip = self.batch_size - keep

@@ -36,6 +36,25 @@ def _build(src_path: str, lib_path: str) -> bool:
         return False
 
 
+def _host_fingerprint() -> str:
+    '''CPU-ISA identity of this host: -march=native binaries built on a
+    different machine (shared checkout, copied image) would SIGILL with no
+    chance of a python-level fallback, so builds are keyed on this.'''
+    import hashlib
+    import platform
+    flags = ''
+    try:
+        with open('/proc/cpuinfo', encoding='utf-8') as fh:
+            for line in fh:
+                if line.startswith(('flags', 'Features')):
+                    flags = line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(
+        (platform.machine() + flags).encode()).hexdigest()[:16]
+
+
 def _load_lib(src_name: str, lib_name: str,
               configure: Callable[[ctypes.CDLL], None]) -> Optional[ctypes.CDLL]:
     '''Load (building if stale/missing) a native library, or None.'''
@@ -44,11 +63,23 @@ def _load_lib(src_name: str, lib_name: str,
             return _libs[lib_name]
         src_path = os.path.join(_DIR, src_name)
         lib_path = os.path.join(_DIR, lib_name)
-        if not os.path.exists(lib_path) or \
-                os.path.getmtime(lib_path) < os.path.getmtime(src_path):
+        host_path = lib_path + '.host'
+        fingerprint = _host_fingerprint()
+        try:
+            built_for = open(host_path, encoding='utf-8').read().strip()
+        except OSError:
+            built_for = ''
+        if (not os.path.exists(lib_path)
+                or os.path.getmtime(lib_path) < os.path.getmtime(src_path)
+                or built_for != fingerprint):
             if not _build(src_path, lib_path):
                 _libs[lib_name] = None
                 return None
+            try:
+                with open(host_path, 'w', encoding='utf-8') as fh:
+                    fh.write(fingerprint)
+            except OSError:
+                pass
         try:
             lib = ctypes.CDLL(lib_path)
             configure(lib)

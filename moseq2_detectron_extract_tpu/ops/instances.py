@@ -123,9 +123,12 @@ def gather_selected_windows(masks, keypoints, chosen_idx, has_instance,
 
     The downstream feature stage (clean/moments/scalars/z-lookup) then runs
     on (N, crop, crop) windows instead of full frames: the animal occupies a
-    tiny fraction of the arena, and every mask pixel lives inside its
-    detection's window whenever the blob fits ``crop`` (the model mask is
-    contained in the detection box centered at ``centers_xy``).
+    tiny fraction of the arena. Pass the chosen detection's BOX center as
+    ``centers_xy``: the window then contains the whole detection box
+    whenever the box fits ``crop``, and both the mask and the keypoints are
+    produced inside the box — a mask-centroid seed has no such guarantee
+    (an elongated animal's centroid sits in the body mass, pushing the tail
+    beyond crop/2).
 
     masks (N, D, H, W); keypoints (N, D, K, 3); chosen_idx (N,) int32;
     has_instance (N,) bool; centers_xy (N, 2 [x, y]) float (NaN when none);

@@ -198,8 +198,12 @@ class ProcessFeaturesStep(PipelineStep):
         scores = np.asarray(inference['scores'])
         self.sub_times['sel_nms'] = self.sub_times.get('sel_nms', 0.0) + \
             _time.perf_counter() - _t0
-        # kept boxes for the live preview's arena overlays (N, D, 4; tiny)
-        boxes = np.asarray(inference['boxes']).astype('float64')
+        # kept boxes for the live preview's arena overlays (N, D, 4; tiny);
+        # raw_boxes keeps every detection's box — the tracker may choose a
+        # detection index whose keep flag is off (stale match), and the
+        # window seed below must still have its real box
+        raw_boxes = np.asarray(inference['boxes']).astype('float64')
+        boxes = raw_boxes.copy()
         boxes[~keep] = np.nan
         data['kept_boxes'] = boxes
         n, d = keep.shape
@@ -235,9 +239,17 @@ class ProcessFeaturesStep(PipelineStep):
 
         self.sub_times['sel_loop'] = self.sub_times.get('sel_loop', 0.0) + \
             _time.perf_counter() - _t1
-        # chosen-instance centers [x, y] (NaN when none): the whole feature
-        # stage downstream runs on windows sliced around these
-        sel_centers = centers[np.arange(n), chosen_idx][:, ::-1].copy()
+        # chosen-instance BOX centers [x, y] (NaN when none): the whole
+        # feature stage downstream runs on windows sliced around these.
+        # Box center, not mask centroid: the window then contains every box
+        # pixel whenever the box fits the window, and the mask and keypoints
+        # both live inside the box — a centroid-seeded window has no such
+        # guarantee (an elongated animal's centroid sits in the body mass,
+        # pushing the tail outside the window)
+        chosen_boxes = raw_boxes[np.arange(n), chosen_idx]  # (N, 4 [x0,y0,x1,y1])
+        sel_centers = np.stack([(chosen_boxes[:, 0] + chosen_boxes[:, 2]) / 2,
+                                (chosen_boxes[:, 1] + chosen_boxes[:, 3]) / 2],
+                               axis=1)
         sel_centers[num_instances <= 0] = np.nan
         chunk_dev = data.get('chunk_dev')
         if chunk_dev is None:

@@ -7,7 +7,6 @@ batched on device; the sequential angle heuristic runs as a light host loop
 over tiny Kalman matrices (6-dim state), matching the reference's per-frame
 control flow exactly.
 '''
-import functools
 import logging
 import os
 from typing import Dict, Optional
@@ -99,39 +98,8 @@ def _frame_features_nocc(cleaned, model_masks, frame_threshold):
     return feats, frame_mask
 
 
-@functools.partial(jax.jit, static_argnames=('crop',))
-def _frame_features_windowed(cleaned, model_masks, frame_threshold, centers_xy,
-                             crop: int):
-    '''Moments over a ``crop`` window at each detection center.
-
-    The mask is contained in the model detection, so a window around its
-    center carries every set pixel — the moment reductions then read
-    crop^2 pixels instead of the whole frame (a 10x traffic cut at the
-    411px production frame). Centroids are window-local + origin;
-    orientation/axis lengths are translation-invariant. Bit-identical to
-    the full-frame program whenever the blob fits the window.
-    '''
-    n, h, w = cleaned.shape
-    frame_mask = (cleaned > frame_threshold) & (model_masks > 0)
-    cx = jnp.nan_to_num(centers_xy[:, 0])
-    cy = jnp.nan_to_num(centers_xy[:, 1])
-    x0 = jnp.clip(cx.astype(jnp.int32) - crop // 2, 0, max(w - crop, 0))
-    y0 = jnp.clip(cy.astype(jnp.int32) - crop // 2, 0, max(h - crop, 0))
-
-    def one(m, yy, xx):
-        return jax.lax.dynamic_slice(m, (yy, xx), (crop, crop))
-
-    wins = jax.vmap(one)(frame_mask, y0, x0)
-    feats = mask_moment_features(wins)
-    offset = jnp.stack([x0, y0], axis=-1).astype(feats['centroid'].dtype)
-    feats = dict(feats)
-    feats['centroid'] = feats['centroid'] + offset
-    return feats, frame_mask
-
-
 def get_frame_features(frames, frame_threshold: float = 10, mask=None,
-                       mask_threshold: float = -30, use_cc: bool = False,
-                       window_centers=None):
+                       mask_threshold: float = -30, use_cc: bool = False):
     '''Image-moment features of the largest blob per frame
     (m2de/proc/proc.py:237-302, minus the contour detour — see ops/moments.py).
 
@@ -158,14 +126,6 @@ def get_frame_features(frames, frame_threshold: float = 10, mask=None,
         feats, frame_mask = _frame_features_impl(frames, model_masks,
                                                  float(frame_threshold),
                                                  float(mask_threshold))
-    elif window_centers is not None:
-        # detection centers known (pipeline path): reduce moments over a
-        # window around each animal instead of the whole frame
-        h, w = frames.shape[1], frames.shape[2]
-        feats, frame_mask = _frame_features_windowed(
-            frames, model_masks, float(frame_threshold),
-            jnp.asarray(np.asarray(window_centers, dtype='float32')),
-            crop=min(128, h, w))
     else:
         feats, frame_mask = _frame_features_nocc(frames, model_masks,
                                                  float(frame_threshold))

@@ -526,45 +526,6 @@ class TestCcShortCircuit:
         assert np.asarray(mask).sum() > 0
 
 
-class TestWindowedMoments:
-    def test_windowed_matches_full_frame(self, rng):
-        '''Windowed moment reduction must equal the full-frame program
-        whenever the blob fits the window (guaranteed: the mask is inside
-        the detection whose center seeds the window).'''
-        import cv2
-        from moseq2_detectron_extract_tpu.proc.features import (
-            _frame_features_nocc, _frame_features_windowed)
-        n, h, w = 5, 200, 240
-        frames = np.zeros((n, h, w), 'uint8')
-        centers = np.zeros((n, 2), 'float32')
-        for i in range(n):
-            cx, cy = int(rng.integers(30, 210)), int(rng.integers(30, 170))
-            cv2.ellipse(frames[i], (cx, cy), (24, 11), float(rng.uniform(0, 360)),
-                        0, 360, 60, -1)
-            centers[i] = (cx, cy)
-        model = (frames > 0).astype('uint8')
-
-        f_full, m_full = _frame_features_nocc(jnp.asarray(frames),
-                                              jnp.asarray(model), 3.0)
-        f_win, m_win = _frame_features_windowed(jnp.asarray(frames),
-                                                jnp.asarray(model), 3.0,
-                                                jnp.asarray(centers), crop=96)
-        np.testing.assert_array_equal(np.asarray(m_win), np.asarray(m_full))
-        for key in ('centroid', 'orientation', 'axis_length'):
-            np.testing.assert_allclose(np.asarray(f_win[key]),
-                                       np.asarray(f_full[key]),
-                                       rtol=1e-5, atol=1e-4, err_msg=key)
-
-    def test_windowed_empty_frame_is_nan(self):
-        from moseq2_detectron_extract_tpu.proc.features import \
-            _frame_features_windowed
-        frames = np.zeros((1, 64, 64), 'uint8')
-        feats, _ = _frame_features_windowed(
-            jnp.asarray(frames), jnp.asarray(frames), 3.0,
-            jnp.asarray([[np.nan, np.nan]], 'float32'), crop=48)
-        assert np.isnan(np.asarray(feats['centroid'])).all()
-
-
 class TestWindowedFeaturePath:
     '''The pipeline's windowed feature stage must match the full-frame
     program whenever the blob fits the window (ops gather_selected_windows +
@@ -572,6 +533,10 @@ class TestWindowedFeaturePath:
 
     def _make_data(self, rng, n=8, h=200, w=240):
         import cv2
+        # deterministic stream: the shared session fixture's position varies
+        # with test order, and marginal blob geometry vs the 12px morphology
+        # erosion must not depend on it
+        rng = np.random.default_rng(777)
         raw = np.zeros((n, h, w), 'uint8')
         masks = np.zeros((n, h, w), 'uint8')
         centers = np.zeros((n, 2), 'float32')
