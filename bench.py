@@ -74,6 +74,7 @@ def build_config(output_dir, predictor, nframes):
         'crop_size': (80, 80), 'frame_trim': (0, 0), 'chunk_size': 1000,
         'chunk_overlap': 0, 'fps': 30, 'use_tracking': True,
         'debug_feature_processing': False, 'use_tracking_model': False,
+        'device_input': os.environ.get('BENCH_DEVICE_INPUT', 'full'),
         'flip_classifier': 'bench-model', 'dataset_name': 'moseq',
         'show_progress': False, 'predictor': predictor,
     }

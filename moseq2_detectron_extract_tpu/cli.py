@@ -65,6 +65,11 @@ def cli():
 @click.option('--fps', default=30, type=int, help='Frame rate of camera')
 @click.option('--use-tracking/--no-use-tracking', default=True, help='during feature processing, use tracking models')
 @click.option('--debug-feature-processing', is_flag=True, help='Generate additional reports of internal data during feature processing')
+@click.option('--device-input', default='full', type=click.Choice(['full', 'prescaled']),
+              help='Upload full-res frames and resize on device (full), or '
+                   'resize to the model canvas on host and upload that plus '
+                   'per-detection windows (prescaled; ~3x fewer bytes over '
+                   'a thin host<->device link)')
 @click.option('--config-file', type=click.Path())
 def extract(model, input_file, checkpoint, batch_size, instance_threshold,
             expected_instances, allowed_detections, bg_roi_dilate, bg_roi_shape,
@@ -72,7 +77,7 @@ def extract(model, input_file, checkpoint, batch_size, instance_threshold,
             bg_roi_gradient_threshold, bg_roi_gradient_kernel, bg_roi_fill_holes,
             use_plane_bground, output_dir, frame_dtype, min_height, max_height,
             crop_size, report_outliers, frame_trim, chunk_size, chunk_overlap, fps,
-            use_tracking, debug_feature_processing, config_file):
+            use_tracking, debug_feature_processing, device_input, config_file):
     '''Extract a moseq session with a trained TPU model.
 
     INPUT_FILE is a path to moseq raw depth data: either a compressed session

@@ -16,12 +16,8 @@ from moseq2_detectron_extract_tpu.models.config import ModelConfig
 from moseq2_detectron_extract_tpu.models.rcnn import MaskKeypointRCNN
 
 
-def compute_test_scale(height: int, width: int, min_size: int, max_size: int) -> float:
-    '''ResizeShortestEdge scale: short edge -> min_size, capped by max_size.'''
-    scale = min_size / min(height, width)
-    if max(height, width) * scale > max_size:
-        scale = max_size / max(height, width)
-    return scale
+from moseq2_detectron_extract_tpu.ops.preprocess import \
+    compute_test_scale  # noqa: F401 (canonical impl; re-exported for API compat)
 
 
 class Predictor:
@@ -72,19 +68,43 @@ class Predictor:
         return cls(cfg, params, batch_size=batch_size, score_threshold=score_threshold)
 
     # ------------------------------------------------------------------ step
-    def _step_impl(self, frames, frame_shape: Tuple[int, int],
-                   with_select: bool = False):
-        '''frames (B, H, W) uint8 -> detection dict at frame resolution.'''
+    def _test_geometry(self, frame_shape: Tuple[int, int]):
+        '''(scale, new_h, new_w) of ResizeShortestEdge for ``frame_shape``.'''
         cfg = self.cfg
         h, w = frame_shape
         canvas = cfg.image_size
         scale = compute_test_scale(h, w, cfg.min_size_test, cfg.max_size_test)
         new_h, new_w = int(h * scale + 0.5), int(w * scale + 0.5)
-        new_h, new_w = min(new_h, canvas), min(new_w, canvas)
+        return scale, min(new_h, canvas), min(new_w, canvas)
+
+    def _step_impl(self, frames, frame_shape: Tuple[int, int],
+                   with_select: bool = False):
+        '''frames (B, H, W) uint8 -> detection dict at frame resolution.'''
+        cfg = self.cfg
+        canvas = cfg.image_size
+        scale, new_h, new_w = self._test_geometry(frame_shape)
 
         x = frames.astype(jnp.float32)
         x = jax.image.resize(x, (x.shape[0], new_h, new_w), method='bilinear')
         x = jnp.pad(x, ((0, 0), (0, canvas - new_h), (0, canvas - new_w)))
+        return self._detect_impl(x, frame_shape, with_select)
+
+    def _prescaled_impl(self, canvas_frames, frame_shape: Tuple[int, int],
+                        with_select: bool = False):
+        '''Host-prescaled variant: ``canvas_frames`` (B, canvas, canvas)
+        uint8 already hold the ResizeShortestEdge'd content in the top-left
+        corner (see :func:`prescale_frames_host`); the device program skips
+        the full-res upload + resize. The rest (normalize, detect,
+        full-res postprocess, optional fused selection) is identical.'''
+        return self._detect_impl(canvas_frames.astype(jnp.float32),
+                                 frame_shape, with_select)
+
+    def _detect_impl(self, x, frame_shape: Tuple[int, int],
+                     with_select: bool = False):
+        '''Shared tail: x (B, canvas, canvas) f32 content-in-corner.'''
+        cfg = self.cfg
+        h, w = frame_shape
+        scale, new_h, new_w = self._test_geometry(frame_shape)
         x = jnp.repeat(x[..., None], 3, axis=-1)  # grayscale -> RGB replication
         mean = jnp.asarray(cfg.pixel_mean, jnp.float32)
         std = jnp.asarray(cfg.pixel_std, jnp.float32)
@@ -152,6 +172,38 @@ class Predictor:
         return self._retry(
             lambda: self._chunk_step(frames, frame_shape,
                                      with_select=with_select), attempts)
+
+    @functools.partial(jax.jit,
+                       static_argnames=('self', 'frame_shape', 'with_select'))
+    def _chunk_step_prescaled(self, canvas_frames,
+                              frame_shape: Tuple[int, int],
+                              with_select: bool = False):
+        n, ch, cw = canvas_frames.shape
+        nb = n // self.batch_size
+        batched = canvas_frames.reshape(nb, self.batch_size, ch, cw)
+        return jax.lax.map(
+            lambda b: self._prescaled_impl(b, frame_shape,
+                                           with_select=with_select), batched)
+
+    def predict_prescaled(self, canvas_frames, frame_shape: Tuple[int, int],
+                          select: bool = False) -> Dict[str, jnp.ndarray]:
+        '''Chunk inference over host-prescaled frames (device-resident out).
+
+        ``canvas_frames``: (N, canvas, canvas) uint8 from
+        :func:`prescale_frames_host` — ~3-4x fewer H2D bytes than the
+        full-res path at production geometry. ``frame_shape`` is the
+        ORIGINAL (h, w); outputs are in original-frame coordinates exactly
+        like :meth:`__call__`. N is padded up to a batch multiple.
+        '''
+        n = canvas_frames.shape[0]
+        dev = jnp.asarray(canvas_frames)
+        pad = (-n) % self.batch_size
+        if pad:
+            dev = jnp.concatenate(
+                [dev, jnp.zeros((pad,) + dev.shape[1:], dev.dtype)])
+        out = self._retry(lambda: self._chunk_step_prescaled(
+            dev, tuple(frame_shape), with_select=select))
+        return {k: v.reshape((-1,) + v.shape[2:])[:n] for k, v in out.items()}
 
     def _step_with_retry(self, batch, frame_shape, attempts: int = 3,
                          with_select: bool = False):

@@ -114,46 +114,66 @@ def unpack_masks_cropped(packed, origins, frame_shape, crop: int = 128):
     return out
 
 
+def window_origins(centers_xy, frame_shape, crop: int):
+    '''(N, 2 [y0, x0]) int32 window origins for ``crop`` windows centered at
+    ``centers_xy`` (x, y; NaN -> 0), clipped into ``frame_shape`` — numpy,
+    shared by the device window gathers and the host window slicing so both
+    sides agree exactly.
+
+    Seed with the chosen detection's BOX center: the window then contains
+    the whole detection box whenever the box fits ``crop``, and both the
+    mask and the keypoints are produced inside the box — a mask-centroid
+    seed has no such guarantee (an elongated animal's centroid sits in the
+    body mass, pushing the tail beyond crop/2).
+    '''
+    import numpy as np
+    h, w = frame_shape
+    centers = np.nan_to_num(np.asarray(centers_xy, dtype='float64'))
+    x0 = np.clip(centers[:, 0].astype('int32') - crop // 2, 0, max(w - crop, 0))
+    y0 = np.clip(centers[:, 1].astype('int32') - crop // 2, 0, max(h - crop, 0))
+    return np.stack([y0, x0], axis=-1).astype('int32')
+
+
 @functools.partial(jax.jit, static_argnames=('crop',))
 def gather_selected_windows(masks, keypoints, chosen_idx, has_instance,
-                            centers_xy, chunk, crop: int = 160):
-    '''Gather one instance per frame AND slice ``crop`` windows around each
-    detection center from both the selected mask and the raw depth chunk —
-    one program, so the (N, D, H, W) mask tensor is read exactly once.
+                            origins, chunk, crop: int = 160):
+    '''Gather one instance per frame AND slice ``crop`` windows at
+    ``origins`` from both the selected mask and the raw depth chunk — one
+    program, so the (N, D, H, W) mask tensor is read exactly once.
 
     The downstream feature stage (clean/moments/scalars/z-lookup) then runs
-    on (N, crop, crop) windows instead of full frames: the animal occupies a
-    tiny fraction of the arena. Pass the chosen detection's BOX center as
-    ``centers_xy``: the window then contains the whole detection box
-    whenever the box fits ``crop``, and both the mask and the keypoints are
-    produced inside the box — a mask-centroid seed has no such guarantee
-    (an elongated animal's centroid sits in the body mass, pushing the tail
-    beyond crop/2).
+    on (N, crop, crop) windows instead of full frames: the animal occupies
+    a tiny fraction of the arena (see :func:`window_origins` for the
+    containment contract).
 
     masks (N, D, H, W); keypoints (N, D, K, 3); chosen_idx (N,) int32;
-    has_instance (N,) bool; centers_xy (N, 2 [x, y]) float (NaN when none);
+    has_instance (N,) bool; origins (N, 2 [y0, x0]) int32;
     chunk (N, H, W) depth. Returns (mask_wins (N, crop, crop) uint8,
-    sel_keypoints (N, K, 3), chunk_wins (N, crop, crop),
-    origins (N, 2 [y0, x0]) int32).
+    sel_keypoints (N, K, 3), chunk_wins (N, crop, crop)).
     '''
-    n, _, h, w = masks.shape
-    rows = jnp.arange(n)
-    sel_masks = masks[rows, chosen_idx].astype(jnp.uint8)
-    sel_masks = sel_masks * has_instance[:, None, None].astype(jnp.uint8)
-    sel_kpts = keypoints[rows, chosen_idx].astype(jnp.float32)
-    sel_kpts = jnp.where(has_instance[:, None, None], sel_kpts, jnp.nan)
+    sel_masks, sel_kpts = gather_selected(masks, keypoints, chosen_idx,
+                                          has_instance)
+    def one(m, c, o):
+        return (jax.lax.dynamic_slice(m, (o[0], o[1]), (crop, crop)),
+                jax.lax.dynamic_slice(c, (o[0], o[1]), (crop, crop)))
 
-    cx = jnp.nan_to_num(centers_xy[:, 0])
-    cy = jnp.nan_to_num(centers_xy[:, 1])
-    x0 = jnp.clip(cx.astype(jnp.int32) - crop // 2, 0, max(w - crop, 0))
-    y0 = jnp.clip(cy.astype(jnp.int32) - crop // 2, 0, max(h - crop, 0))
+    mask_wins, chunk_wins = jax.vmap(one)(sel_masks, chunk, origins)
+    return mask_wins, sel_kpts, chunk_wins
 
-    def one(m, c, yy, xx):
-        return (jax.lax.dynamic_slice(m, (yy, xx), (crop, crop)),
-                jax.lax.dynamic_slice(c, (yy, xx), (crop, crop)))
 
-    mask_wins, chunk_wins = jax.vmap(one)(sel_masks, chunk, y0, x0)
-    return mask_wins, sel_kpts, chunk_wins, jnp.stack([y0, x0], axis=-1)
+@functools.partial(jax.jit, static_argnames=('crop',))
+def gather_selected_mask_windows(masks, keypoints, chosen_idx, has_instance,
+                                 origins, crop: int = 160):
+    '''As :func:`gather_selected_windows` but mask windows only — the
+    prescaled pipeline slices its raw windows from the HOST chunk (there is
+    no full-res depth on device in that mode).'''
+    sel_masks, sel_kpts = gather_selected(masks, keypoints, chosen_idx,
+                                          has_instance)
+
+    def one(m, o):
+        return jax.lax.dynamic_slice(m, (o[0], o[1]), (crop, crop))
+
+    return jax.vmap(one)(sel_masks, origins), sel_kpts
 
 
 @jax.jit

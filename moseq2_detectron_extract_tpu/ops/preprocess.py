@@ -237,6 +237,83 @@ def decode_prepped_frames(frames: jnp.ndarray, fill_iterations: int = 16) -> jnp
     return fill_invalid_pixels(cleared, invalid, iterations=fill_iterations)
 
 
+def fill_sentinels_host(frames: np.ndarray, sentinel: int) -> np.ndarray:
+    '''Fill sentinel (dropout) pixels by row-carrying the previous valid
+    value (falling back to the next valid / 0 for leading runs), in place.
+
+    A cheap host-side stand-in for the device harmonic fill, used only to
+    prepare frames for host-side resizing (the prescaled inference path):
+    Kinect dropouts are 1-5px specks, where a row-carry is within noise of
+    the reference's cv2.inpaint. Feature processing still uses the device
+    harmonic fill on its windows.
+    '''
+    bad = frames == sentinel
+    if not bad.any():
+        return frames
+    n, h, w = frames.shape
+    flat = frames.reshape(n * h, w)
+    badf = bad.reshape(n * h, w)
+    # index of the most recent valid column per position (row-wise carry)
+    idx = np.where(badf, 0, np.arange(w)[None, :])
+    np.maximum.accumulate(idx, axis=1, out=idx)
+    filled = np.take_along_axis(flat, idx, axis=1)
+    # rows whose leading run is bad: carry the first valid value backward
+    lead = badf[:, 0]
+    if lead.any():
+        first_valid = np.argmax(~badf[lead], axis=1)
+        all_bad = badf[lead].all(axis=1)
+        seed = flat[lead, np.where(all_bad, 0, first_valid)]
+        seed = np.where(all_bad, 0, seed)
+        lead_rows = np.flatnonzero(lead)
+        for r, s in zip(lead_rows, seed):
+            run = np.argmax(~badf[r]) if not badf[r].all() else w
+            filled[r, :run] = s
+    flat[badf] = filled[badf]
+    return frames
+
+
+def prescale_frames_host(frames: np.ndarray, cfg, vmin: float, vmax: float,
+                         fill_sentinel=None) -> np.ndarray:
+    '''ResizeShortestEdge + intensity scale on host -> (N, canvas, canvas)
+    uint8, content in the top-left corner (the Predictor's prescaled path,
+    models/predictor.py:predict_prescaled).
+
+    Mirrors the device path's decode -> scale_raw_frames -> resize order:
+    fill sentinels (row-carry), rescale [vmin, vmax] to the uint8 range,
+    then cv2 INTER_LINEAR like the reference's host-side ResizeShortestEdge
+    (Detectron2 resizes on host too). ~3-4x fewer H2D bytes than uploading
+    full-res frames at production geometry. ``frames`` is not modified.
+    '''
+    import cv2
+    n, h, w = frames.shape
+    canvas = cfg.image_size
+    scale = compute_test_scale(h, w, cfg.min_size_test, cfg.max_size_test)
+    new_h = min(int(h * scale + 0.5), canvas)
+    new_w = min(int(w * scale + 0.5), canvas)
+    work = frames.copy()
+    if fill_sentinel is not None:
+        work = fill_sentinels_host(work, int(fill_sentinel))
+    # scale_raw_frames parity: (x - vmin) * 255 / (vmax - vmin), uint8 wrap
+    scaled = ((work.astype('float32') - float(vmin))
+              * (255.0 / (float(vmax) - float(vmin)))).astype('uint8')
+    out = np.zeros((n, canvas, canvas), np.uint8)
+    if (new_h, new_w) == (h, w):
+        out[:, :h, :w] = scaled
+        return out
+    for i in range(n):
+        out[i, :new_h, :new_w] = cv2.resize(scaled[i], (new_w, new_h),
+                                            interpolation=cv2.INTER_LINEAR)
+    return out
+
+
+def compute_test_scale(height: int, width: int, min_size: int, max_size: int) -> float:
+    '''ResizeShortestEdge scale (shared with models/predictor.py).'''
+    scale = min_size / min(height, width)
+    if max(height, width) * scale > max_size:
+        scale = max_size / max(height, width)
+    return scale
+
+
 def bbox_from_roi(roi: np.ndarray):
     '''Bounding box ((y0, x0), (y1, x1)) of positive mask pixels, end-exclusive.
 

@@ -17,8 +17,8 @@ from moseq2_detectron_extract_tpu.io.result import (create_extract_h5,
 from moseq2_detectron_extract_tpu.io.session import Session, Stream
 from moseq2_detectron_extract_tpu.io.video import PreviewVideoWriter
 from moseq2_detectron_extract_tpu.ops.instances import (
-    gather_selected_windows, nms_and_centers, packbits_device,
-    unpack_masks_cropped, unpackbits_host)
+    gather_selected_mask_windows, gather_selected_windows, nms_and_centers,
+    packbits_device, unpack_masks_cropped, unpackbits_host, window_origins)
 from moseq2_detectron_extract_tpu.ops.preprocess import (decode_prepped_frames,
                                                          prep_raw_frames_host,
                                                          scale_raw_frames)
@@ -95,23 +95,46 @@ class InferenceStep(PipelineStep):
                 batch_size=self.config.get('batch_size', 10),
                 score_threshold=self.config.get('instance_threshold', 0.5))
         self.predictor = predictor
+        # 'full' uploads the whole sentinel-encoded chunk and resizes on
+        # device; 'prescaled' resizes to the model canvas on host and
+        # uploads that (+ per-detection windows later) — ~3x fewer H2D
+        # bytes, the winning mode when the host<->device link is thin
+        self.device_input = self.config.get('device_input', 'full')
 
     def process(self, data):
-        # single H2D upload of the sentinel-encoded uint8 chunk; everything
-        # after this stays device-resident until compact results come back
-        chunk_dev = decode_prepped_frames(jnp.asarray(data['chunk']))
-        frames = scale_raw_frames(chunk_dev, self.config['min_height'],
-                                  self.config['max_height'])
-        data['chunk_dev'] = chunk_dev
-        # zero the dropout sentinels for host consumers in place (np.where
-        # would allocate + copy the whole ~200 MB chunk again)
-        chunk = data['chunk']
-        if not chunk.flags.writeable:
-            chunk = chunk.copy()
-            data['chunk'] = chunk
-        np.copyto(chunk, 0, where=(chunk == np.iinfo(chunk.dtype).max))
-        data['inference'] = self.predictor(frames, return_device=True,
-                                           select=True)
+        if self.device_input == 'prescaled' and \
+                hasattr(self.predictor, 'predict_prescaled'):
+            from moseq2_detectron_extract_tpu.ops.preprocess import \
+                prescale_frames_host
+            chunk = data['chunk']
+            h, w = chunk.shape[1], chunk.shape[2]
+            canvas = prescale_frames_host(
+                chunk, self.predictor.cfg,
+                vmin=self.config['min_height'],
+                vmax=self.config['max_height'],
+                fill_sentinel=np.iinfo(chunk.dtype).max)
+            data['inference'] = self.predictor.predict_prescaled(
+                canvas, (h, w), select=True)
+            # data['chunk'] keeps its sentinels: ProcessFeatures slices its
+            # raw windows from it (device harmonic fill per window), then
+            # zeroes the sentinels for the preview
+        else:
+            # single H2D upload of the sentinel-encoded uint8 chunk;
+            # everything after this stays device-resident until compact
+            # results come back
+            chunk_dev = decode_prepped_frames(jnp.asarray(data['chunk']))
+            frames = scale_raw_frames(chunk_dev, self.config['min_height'],
+                                      self.config['max_height'])
+            data['chunk_dev'] = chunk_dev
+            # zero the dropout sentinels for host consumers in place
+            # (np.where would allocate + copy the whole ~200 MB chunk again)
+            chunk = data['chunk']
+            if not chunk.flags.writeable:
+                chunk = chunk.copy()
+                data['chunk'] = chunk
+            np.copyto(chunk, 0, where=(chunk == np.iinfo(chunk.dtype).max))
+            data['inference'] = self.predictor(frames, return_device=True,
+                                               select=True)
         self.update_progress(len(data['frame_idxs']))
         return data
 
@@ -251,19 +274,36 @@ class ProcessFeaturesStep(PipelineStep):
                                 (chosen_boxes[:, 1] + chosen_boxes[:, 3]) / 2],
                                axis=1)
         sel_centers[num_instances <= 0] = np.nan
+        chunk = data['chunk']
+        h, w = chunk.shape[1], chunk.shape[2]
+        crop = min(self.feature_window, h, w)
+        origins = window_origins(sel_centers, (h, w), crop)
         chunk_dev = data.get('chunk_dev')
-        if chunk_dev is None:
-            chunk_dev = jnp.asarray(data['chunk'])
-            data['chunk_dev'] = chunk_dev
-        crop = min(self.feature_window, chunk_dev.shape[1], chunk_dev.shape[2])
-        mask_wins, sel_kpts, raw_wins, origins = gather_selected_windows(
-            masks_dev, keypoints_dev, jnp.asarray(chosen_idx),
-            jnp.asarray(num_instances > 0),
-            jnp.asarray(sel_centers.astype('float32')), chunk_dev, crop=crop)
+        if chunk_dev is not None:
+            # full-res depth lives on device: slice raw windows there
+            mask_wins, sel_kpts, raw_wins = gather_selected_windows(
+                masks_dev, keypoints_dev, jnp.asarray(chosen_idx),
+                jnp.asarray(num_instances > 0), jnp.asarray(origins),
+                chunk_dev, crop=crop)
+        else:
+            # prescaled mode: no full-res depth on device — slice the
+            # sentinel-encoded windows from the HOST chunk, upload them
+            # (~25 KB/frame) and harmonic-fill on device; then zero the
+            # host chunk's sentinels for the preview
+            mask_wins, sel_kpts = gather_selected_mask_windows(
+                masks_dev, keypoints_dev, jnp.asarray(chosen_idx),
+                jnp.asarray(num_instances > 0), jnp.asarray(origins),
+                crop=crop)
+            wins_host = np.empty((n, crop, crop), chunk.dtype)
+            for i, (y0, x0) in enumerate(origins):
+                wins_host[i] = chunk[i, y0:y0 + crop, x0:x0 + crop]
+            raw_wins = decode_prepped_frames(jnp.asarray(wins_host))
+            np.copyto(chunk, 0,
+                      where=(chunk == np.iinfo(chunk.dtype).max))
         data['sel_masks'] = mask_wins          # device (N, c, c) uint8
         data['sel_keypoints'] = sel_kpts       # device (N, K, 3)
         data['raw_windows'] = raw_wins         # device (N, c, c) depth
-        data['win_origins'] = origins          # device (N, 2 [y0, x0])
+        data['win_origins'] = origins          # (N, 2 [y0, x0]) int32
         data['num_instances'] = num_instances
         return data
 
@@ -295,9 +335,6 @@ class ProcessFeaturesStep(PipelineStep):
         return data
 
     def _crop_and_rotate(self, data):
-        raw_frames = data.get('chunk_dev')
-        if raw_frames is None:
-            raw_frames = jnp.asarray(data['chunk'])
         centroids = data['features']['features']['centroid']
         angles = data['features']['features']['orientation']
         # feature masks are windows around each detection; crop them with
@@ -312,8 +349,16 @@ class ProcessFeaturesStep(PipelineStep):
                     f"WARN: No instances found for frame {data['frame_idxs'][i]}",
                     logging.WARNING)
 
-        cropped = crop_and_rotate_frames(raw_frames, jnp.asarray(centroids),
-                                         jnp.asarray(angles), self.crop)
+        raw_frames = data.get('chunk_dev')
+        if raw_frames is not None:
+            cropped = crop_and_rotate_frames(raw_frames, jnp.asarray(centroids),
+                                             jnp.asarray(angles), self.crop)
+        else:
+            # prescaled mode: crop depth from the filled windows; the
+            # beyond-window taps are arena floor (0 in prepped depth)
+            cropped = crop_and_rotate_frames(
+                data['raw_windows'], jnp.asarray(local_centroids),
+                jnp.asarray(angles), self.crop)
         cropped_masks = crop_and_rotate_frames(
             mask_wins, jnp.asarray(local_centroids), jnp.asarray(angles),
             self.crop)
@@ -328,7 +373,7 @@ class ProcessFeaturesStep(PipelineStep):
             # the feature-mask windows double as the preview's arena overlay:
             # bit-packed windows travel (~3 KB/frame vs ~22 KB for the whole
             # packed plane) and paste back to full res on host
-            h, w = raw_frames.shape[1], raw_frames.shape[2]
+            h, w = data['chunk'].shape[1], data['chunk'].shape[2]
             arena_packed = packbits_device(mask_wins > 0)
             data['arena_masks'] = unpack_masks_cropped(
                 arena_packed, origins, (h, w), crop=int(mask_wins.shape[-1]))

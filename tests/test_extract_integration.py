@@ -165,3 +165,46 @@ class TestExtractIntegration:
         with h5py.File(os.path.join(out_dir, 'results_00.h5'), 'r') as h5:
             area = h5['scalars/area_px'][()]
             assert (area > 300).all(), 'overlap writing left gaps'
+
+
+class TestPrescaledPipeline:
+    def test_prescaled_mode_runs_end_to_end(self, session_dir, tmp_path):
+        '''device_input='prescaled' drives the host-resized inference path +
+        host-sliced feature windows through the whole pipeline (real tiny
+        predictor; random weights at threshold 0 so detections exist).'''
+        import jax
+        from moseq2_detectron_extract_tpu.models.config import ModelConfig
+        from moseq2_detectron_extract_tpu.models.predictor import Predictor
+        from moseq2_detectron_extract_tpu.models.rcnn import MaskKeypointRCNN
+
+        session = Session(os.path.join(session_dir, 'depth.dat'))
+        out_dir = str(tmp_path / 'proc')
+        config = base_config(out_dir, instance_threshold=0.0,
+                             device_input='prescaled', batch_size=10,
+                             chunk_size=30)
+        session._bground_im = make_background()
+        session.find_roi(bg_roi_depth_range=config['bg_roi_depth_range'])
+
+        cfg = ModelConfig(
+            image_size=64, resnet_stage_blocks=(1, 1, 1, 1), resnet_width=16,
+            fpn_channels=32, box_fc_dim=32, mask_conv_dims=(16,),
+            keypoint_conv_dims=(16,), rpn_pre_nms_topk_test=16,
+            rpn_post_nms_topk_test=8, test_detections_per_image=2,
+            test_score_thresh=0.0)
+        model = MaskKeypointRCNN(cfg)
+        import jax.numpy as jnp
+        images = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), images,
+                            method=MaskKeypointRCNN.inference)
+        config['predictor'] = Predictor(cfg, params, batch_size=10,
+                                        score_threshold=0.0)
+
+        status = extract_session(session, config)
+        status_data = read_yaml(status)
+        assert status_data['complete'], 'prescaled extraction did not complete'
+        h5_path = os.path.join(out_dir, 'results_00.h5')
+        with h5py.File(h5_path, 'r') as h5:
+            assert h5['frames'].shape == (60, 80, 80)
+            assert h5['frames_mask'].shape == (60, 80, 80)
+            assert np.isfinite(h5['scalars/centroid_x_px'][()]).any()
+        assert os.path.exists(os.path.join(out_dir, 'results_00.mp4'))

@@ -373,3 +373,61 @@ class TestPredictorFusedSelect:
         frames = np.zeros((2, 60, 62), 'uint8')
         out = pred(frames, return_device=True)
         assert 'keep' not in out
+
+
+class TestPrescaledPredictor:
+    def _cfg(self, **kw):
+        from moseq2_detectron_extract_tpu.models.config import ModelConfig
+        base = dict(
+            image_size=64, resnet_stage_blocks=(1, 1, 1, 1), resnet_width=16,
+            fpn_channels=32, box_fc_dim=32, mask_conv_dims=(16,),
+            keypoint_conv_dims=(16,), rpn_pre_nms_topk_test=16,
+            rpn_post_nms_topk_test=8, test_detections_per_image=2,
+            test_score_thresh=0.0)
+        base.update(kw)
+        return ModelConfig(**base)
+
+    def test_scale_one_matches_full_path(self):
+        '''With ResizeShortestEdge scale == 1 both paths feed the model the
+        same pixels, so prescaled outputs must match the full path.'''
+        from moseq2_detectron_extract_tpu.models.predictor import Predictor
+        from moseq2_detectron_extract_tpu.models.rcnn import MaskKeypointRCNN
+        from moseq2_detectron_extract_tpu.ops.preprocess import (
+            compute_test_scale, prescale_frames_host)
+        cfg = self._cfg(min_size_test=48, max_size_test=64)
+        assert compute_test_scale(48, 60, 48, 64) == 1.0
+        model = MaskKeypointRCNN(cfg)
+        images = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), images,
+                            method=MaskKeypointRCNN.inference)
+        pred = Predictor(cfg, params, batch_size=2)
+        frames = (np.linspace(0, 255, 4 * 48 * 60)
+                  .reshape(4, 48, 60).astype('uint8'))
+        full = pred(frames, return_device=True, select=True)
+        # identity intensity scale: vmin=0, vmax=255
+        canvas = prescale_frames_host(frames, cfg, vmin=0, vmax=255)
+        pre = pred.predict_prescaled(canvas, (48, 60), select=True)
+        for k in ('boxes', 'scores', 'valid', 'keypoints', 'keep', 'centers'):
+            np.testing.assert_allclose(
+                np.nan_to_num(np.asarray(full[k], dtype='float32')),
+                np.nan_to_num(np.asarray(pre[k], dtype='float32')),
+                rtol=2e-4, atol=2e-3, err_msg=k)
+
+    def test_prescale_leaves_input_unmodified_and_fills(self):
+        from moseq2_detectron_extract_tpu.ops.preprocess import (
+            fill_sentinels_host, prescale_frames_host)
+        cfg = self._cfg(min_size_test=32, max_size_test=40)
+        frames = np.full((2, 48, 60), 50, 'uint8')
+        frames[0, 10, 10] = 255  # dropout sentinel
+        orig = frames.copy()
+        out = prescale_frames_host(frames, cfg, vmin=0, vmax=100,
+                                   fill_sentinel=255)
+        np.testing.assert_array_equal(frames, orig)  # input untouched
+        assert out.shape == (2, cfg.image_size, cfg.image_size)
+        # 50 scaled by 255/100 -> 127; the filled dropout must not leak 255
+        assert out.max() <= 128
+        # direct fill check: sentinel takes the row-carried neighbor
+        f2 = np.full((1, 4, 4), 7, 'uint8')
+        f2[0, 1, 2] = 255
+        filled = fill_sentinels_host(f2.copy(), 255)
+        assert filled[0, 1, 2] == 7

@@ -565,10 +565,12 @@ class TestWindowedFeaturePath:
 
         full = instances_to_features(masks, kpts.copy(), ones, raw,
                                      None, None)
-        mask_wins, sel_kpts, raw_wins, origins = gather_selected_windows(
+        from moseq2_detectron_extract_tpu.ops.instances import window_origins
+        origins = window_origins(centers, raw.shape[1:], 128)
+        mask_wins, sel_kpts, raw_wins = gather_selected_windows(
             jnp.asarray(masks[:, None]), jnp.asarray(kpts[:, None]),
             jnp.zeros(n, jnp.int32), jnp.ones(n, bool),
-            jnp.asarray(centers), jnp.asarray(raw), crop=128)
+            jnp.asarray(origins), jnp.asarray(raw), crop=128)
         win = instances_to_features(mask_wins, sel_kpts, ones, raw_wins,
                                     None, None, window_origins=origins)
 
@@ -599,10 +601,12 @@ class TestWindowedFeaturePath:
         raw, masks, centers, kpts = self._make_data(rng)
         n = len(raw)
         cleaned_full = np.asarray(clean_frames(jnp.asarray(raw), iters_tail=3))
-        _, _, raw_wins, origins = gather_selected_windows(
+        from moseq2_detectron_extract_tpu.ops.instances import window_origins
+        origins = window_origins(centers, raw.shape[1:], 128)
+        _, _, raw_wins = gather_selected_windows(
             jnp.asarray(masks[:, None]), jnp.asarray(kpts[:, None]),
             jnp.zeros(n, jnp.int32), jnp.ones(n, bool),
-            jnp.asarray(centers), jnp.asarray(raw), crop=128)
+            jnp.asarray(origins), jnp.asarray(raw), crop=128)
         cleaned_wins = clean_frames(raw_wins, iters_tail=3)
         angles = np.zeros(n)
         full = keypoints_to_dict(kpts, cleaned_full, centers.astype(float), angles)
@@ -627,10 +631,12 @@ class TestWindowedFeaturePath:
         num[5] = 0
         centers = centers.copy()
         centers[[2, 5]] = np.nan
-        mask_wins, sel_kpts, raw_wins, origins = gather_selected_windows(
+        from moseq2_detectron_extract_tpu.ops.instances import window_origins
+        origins = window_origins(centers, raw.shape[1:], 128)
+        mask_wins, sel_kpts, raw_wins = gather_selected_windows(
             jnp.asarray(masks[:, None]), jnp.asarray(kpts[:, None]),
             jnp.zeros(n, jnp.int32), jnp.asarray(num > 0),
-            jnp.asarray(centers), jnp.asarray(raw), crop=128)
+            jnp.asarray(origins), jnp.asarray(raw), crop=128)
         assert np.asarray(mask_wins)[2].sum() == 0
         assert np.isnan(np.asarray(sel_kpts)[5]).all()
         out = instances_to_features(mask_wins, sel_kpts, num, raw_wins,
