@@ -592,6 +592,41 @@ class TestWindowedFeaturePath:
             pasted[y0:y0 + 128, x0:x0 + 128] = wins[i]
             np.testing.assert_array_equal(pasted, full_masks[i])
 
+    def test_windowed_matches_at_arena_corners(self, rng):
+        '''Window origins clamp at the frame border; the blob still fits the
+        shifted window, so parity with the full-frame program must hold.'''
+        import cv2
+        from moseq2_detectron_extract_tpu.ops.instances import (
+            gather_selected_windows, window_origins)
+        from moseq2_detectron_extract_tpu.proc.features import \
+            instances_to_features
+        n, h, w = 4, 200, 240
+        raw = np.zeros((n, h, w), 'uint8')
+        masks = np.zeros((n, h, w), 'uint8')
+        centers = np.zeros((n, 2), 'float32')
+        corners = [(30, 30), (210, 30), (30, 170), (210, 170)]
+        for i, (cx, cy) in enumerate(corners):
+            cv2.ellipse(raw[i], (cx, cy), (28, 20), 30.0 * i, 0, 360, 60, -1)
+            masks[i] = (raw[i] > 0).astype('uint8')
+            centers[i] = (cx, cy)
+        ones = np.ones(n, int)
+        full = instances_to_features(masks, np.zeros((n, 8, 3)), ones, raw,
+                                     None, None)
+        origins = window_origins(centers, (h, w), 128)
+        assert (origins == 0).any(), 'expected clamped origins at corners'
+        mask_wins, sel_kpts, raw_wins = gather_selected_windows(
+            jnp.asarray(masks[:, None]), jnp.asarray(np.zeros((n, 1, 8, 3))),
+            jnp.zeros(n, jnp.int32), jnp.ones(n, bool),
+            jnp.asarray(origins), jnp.asarray(raw), crop=128)
+        win = instances_to_features(mask_wins, sel_kpts, ones, raw_wins,
+                                    None, None, window_origins=origins)
+        np.testing.assert_allclose(win['features']['centroid'],
+                                   full['features']['centroid'],
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(win['features']['orientation'],
+                                   full['features']['orientation'],
+                                   rtol=1e-4, atol=1e-3)
+
     def test_windowed_z_lookup_matches(self, rng):
         from moseq2_detectron_extract_tpu.ops.instances import \
             gather_selected_windows
