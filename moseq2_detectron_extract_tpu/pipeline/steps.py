@@ -103,6 +103,13 @@ class InferenceStep(PipelineStep):
 
     def process(self, data):
         if self.device_input == 'prescaled' and \
+                data['chunk'].dtype != np.uint8:
+            # the host prescale's intensity mapping targets the uint8 range;
+            # fall back to the device-resize path for uint16 frame_dtype
+            logging.warning("device_input='prescaled' requires uint8 frames; "
+                            'falling back to full-resolution device input')
+            self.device_input = 'full'
+        if self.device_input == 'prescaled' and \
                 hasattr(self.predictor, 'predict_prescaled'):
             from moseq2_detectron_extract_tpu.ops.preprocess import \
                 prescale_frames_host
