@@ -73,13 +73,19 @@ def read_frames_raw(filename: Union[str, tarfile.TarInfo],
     if not frames:
         frames = list(range(info['nframes']))
 
+    pos = {f: i for i, f in enumerate(frames)}  # frame -> output row, O(N)
     blocks = []
     for start, nframes in collapse_consecutive_values(sorted(frames)):
+        idxs = [pos[start + i] for i in range(nframes)]
+        # consecutive output rows (the streaming case) assign via a cheap
+        # slice view instead of a fancy-index gather copy (~0.5 s / 1000
+        # full frames, as much as the read itself)
+        consec = idxs == list(range(idxs[0], idxs[0] + nframes))
         blocks.append({
             'seek': max(0, start * info['bytes_per_frame']),
             'nbytes': nframes * info['bytes_per_frame'],
             'shape': (nframes, frame_dims[1], frame_dims[0]),
-            'idxs': [frames.index(start + i) for i in range(nframes)],
+            'idxs': slice(idxs[0], idxs[0] + nframes) if consec else idxs,
         })
 
     out = np.empty((len(frames), frame_dims[1], frame_dims[0]), dtype=np.dtype(dtype))
@@ -97,9 +103,19 @@ def read_frames_raw(filename: Union[str, tarfile.TarInfo],
         with open(filename, 'rb') as fh:
             for blk in blocks:
                 fh.seek(blk['seek'])
-                chunk = np.fromfile(fh, dtype=np.dtype(dtype),
-                                    count=blk['shape'][0] * frame_dims[0] * frame_dims[1])
-                out[blk['idxs'], ...] = chunk.reshape(blk['shape'])
+                if isinstance(blk['idxs'], slice):
+                    # stream straight into the output rows: no intermediate
+                    # chunk allocation + copy (each ~0.45 s / 1000 full frames)
+                    view = out[blk['idxs']]
+                    got = fh.readinto(memoryview(view).cast('B'))
+                    if got != blk['nbytes']:
+                        raise EOFError(
+                            f'short read: wanted {blk["nbytes"]} bytes, '
+                            f'got {got} ({filename})')
+                else:
+                    chunk = np.fromfile(fh, dtype=np.dtype(dtype),
+                                        count=blk['shape'][0] * frame_dims[0] * frame_dims[1])
+                    out[blk['idxs'], ...] = chunk.reshape(blk['shape'])
     else:
         raise ValueError(f'cannot read frames from {filename!r} without a tar object')
 
