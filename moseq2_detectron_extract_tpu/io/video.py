@@ -292,20 +292,28 @@ def _jet_lut() -> np.ndarray:
 _JET_LUT = _jet_lut()
 
 
-def apply_colormap_jet(frames: np.ndarray, vmin: float = 0, vmax: float = 100) -> np.ndarray:
+def apply_colormap_jet(frames: np.ndarray, vmin: float = 0, vmax: float = 100,
+                       out: Optional[np.ndarray] = None) -> np.ndarray:
     '''False-color single channel frames with a jet-like colormap -> uint8 RGB.
 
     Implemented as a 256-entry LUT gather: one integer pass over the frames
-    instead of ~10 float passes (matters on weak host cores).
+    instead of ~10 float passes (matters on weak host cores). ``out`` reuses
+    a persistent ``frames.shape + (3,)`` uint8 buffer.
     '''
     frames = np.asarray(frames)
     scale = 255.0 / max(vmax - vmin, 1e-6)
     if frames.dtype == np.uint8:
         # fold the intensity rescale into the LUT: zero arithmetic per pixel
         vals = np.clip((np.arange(256) - vmin) * scale, 0, 255).astype('uint8')
-        return _JET_LUT[vals][frames]
-    idx = np.clip((frames.astype('float32') - vmin) * scale, 0, 255).astype('uint8')
-    return _JET_LUT[idx]
+        lut = _JET_LUT[vals]
+    else:
+        frames = np.clip((frames.astype('float32') - vmin) * scale,
+                         0, 255).astype('uint8')
+        lut = _JET_LUT
+    if out is not None and out.shape == frames.shape + (3,):
+        np.take(lut, frames, axis=0, out=out)
+        return out
+    return lut[frames]
 
 
 class PreviewVideoWriter:
@@ -324,6 +332,7 @@ class PreviewVideoWriter:
         self.vmax = vmax
         self._pipe = None
         self._cvwriter = None
+        self._bgr_buf: Optional[np.ndarray] = None
 
     def _frame_to_rgb(self, frame: np.ndarray, frame_no: Optional[int]) -> np.ndarray:
         if frame.ndim == 2:
@@ -342,34 +351,78 @@ class PreviewVideoWriter:
         return rgb
 
     def write_frames(self, frame_idxs: np.ndarray, frames: np.ndarray) -> None:
-        '''Append ``frames`` (gray or RGB) to the preview video.'''
+        '''Append ``frames`` (gray or RGB) to the preview video.
+
+        uint8 RGB blocks take a batched path: one block-wide BGR conversion
+        into a persistent buffer (cv2 route) or one pipe write per block
+        (ffmpeg route) instead of a per-frame convert+copy — fresh-page
+        allocation per frame was a measured preview bottleneck.'''
         if frames.shape[1] % 2:
             frames = np.pad(frames, ((0, 0), (0, 1)) + ((0, 0),) * (frames.ndim - 2))
         if frames.shape[2] % 2:
             frames = np.pad(frames, ((0, 0), (0, 0), (0, 1)) + ((0, 0),) * (frames.ndim - 3))
 
+        if frames.ndim == 4 and frames.dtype == np.uint8 and FFMPEG is not None:
+            frames = np.ascontiguousarray(frames)
+            if frame_idxs is not None:  # stamp frame numbers in place
+                for i in range(frames.shape[0]):
+                    self._frame_to_rgb(frames[i], int(frame_idxs[i]))
+            self._ffmpeg_pipe(frames.shape).stdin.write(memoryview(frames))
+            return
+        if frames.ndim == 4 and frames.dtype == np.uint8:
+            try:
+                import cv2
+                return self._write_block_cv2(cv2, frame_idxs, frames)
+            except ImportError:  # pragma: no cover - fall through per-frame
+                pass
+
         for i in range(frames.shape[0]):
             rgb = self._frame_to_rgb(frames[i], int(frame_idxs[i]) if frame_idxs is not None else None)
             if FFMPEG is not None:
-                if self._pipe is None:
-                    frame_size = f'{rgb.shape[1]:d}x{rgb.shape[0]:d}'
-                    command = [FFMPEG, '-y', '-loglevel', 'fatal', '-threads', '2',
-                               '-framerate', str(self.fps), '-f', 'rawvideo', '-s', frame_size,
-                               '-pix_fmt', 'rgb24', '-i', '-', '-an', '-vcodec', 'h264',
-                               '-r', str(self.fps), '-pix_fmt', 'yuv420p',
-                               '-tune', 'zerolatency', '-preset', 'ultrafast', self.filename]
-                    self._pipe = subprocess.Popen(command, stdin=subprocess.PIPE,
-                                                  stderr=subprocess.PIPE)
-                self._pipe.stdin.write(rgb.tobytes())
+                self._ffmpeg_pipe((1,) + rgb.shape).stdin.write(rgb.tobytes())
             else:
                 import cv2
                 if self._cvwriter is None:
                     fourcc = cv2.VideoWriter_fourcc(*'mp4v')
                     self._cvwriter = cv2.VideoWriter(self.filename, fourcc, self.fps,
                                                      (rgb.shape[1], rgb.shape[0]))
-                # cvtColor, not rgb[..., ::-1]: cv2 copies non-contiguous
-                # input through a slow path (2x the whole encode, measured)
                 self._cvwriter.write(cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+
+    def _write_block_cv2(self, cv2, frame_idxs, frames) -> None:
+        '''Batched uint8-RGB block write through the cv2 encoder: one
+        block-wide cvtColor into a persistent BGR buffer (cvtColor, not
+        frames[..., ::-1] — cv2 copies non-contiguous input through a slow
+        path, 2x the whole encode measured; per-frame conversion paid a
+        fresh-page allocation per frame).'''
+        bgr = self._bgr_buf
+        if bgr is None or bgr.shape != frames.shape:
+            bgr = self._bgr_buf = np.empty(frames.shape, np.uint8)
+        n, h, w, _ = frames.shape
+        cv2.cvtColor(np.ascontiguousarray(frames).reshape(n * h, w, 3),
+                     cv2.COLOR_RGB2BGR, dst=bgr.reshape(n * h, w, 3))
+        if self._cvwriter is None:
+            fourcc = cv2.VideoWriter_fourcc(*'mp4v')
+            self._cvwriter = cv2.VideoWriter(self.filename, fourcc,
+                                             self.fps, (w, h))
+        for i in range(n):
+            if frame_idxs is not None:
+                cv2.putText(bgr[i], str(int(frame_idxs[i])), (5, h - 40),
+                            cv2.FONT_HERSHEY_SIMPLEX, 1, (255, 255, 255),
+                            2, cv2.LINE_AA)
+            self._cvwriter.write(bgr[i])
+
+    def _ffmpeg_pipe(self, block_shape) -> 'subprocess.Popen':
+        if self._pipe is None:
+            h, w = block_shape[1], block_shape[2]
+            command = [FFMPEG, '-y', '-loglevel', 'fatal', '-threads', '2',
+                       '-framerate', str(self.fps), '-f', 'rawvideo',
+                       '-s', f'{w:d}x{h:d}',
+                       '-pix_fmt', 'rgb24', '-i', '-', '-an', '-vcodec', 'h264',
+                       '-r', str(self.fps), '-pix_fmt', 'yuv420p',
+                       '-tune', 'zerolatency', '-preset', 'ultrafast', self.filename]
+            self._pipe = subprocess.Popen(command, stdin=subprocess.PIPE,
+                                          stderr=subprocess.PIPE)
+        return self._pipe
 
     def close(self) -> None:
         '''Finalize the video file.'''

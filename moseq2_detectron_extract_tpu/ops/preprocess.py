@@ -196,6 +196,15 @@ def _prep_frames_host_native(frames, bground_im, roi_crop, vmin, vmax,
     cost. Returns None (caller falls back to numpy) when the input is not
     the production shape: uint16 frames, row-contiguous, uint8 output.
     '''
+    if frames.dtype == np.int16 and frames.ndim == 3:
+        # '<i2' is the reference's on-disk depth convention
+        # (m2de/io/video.py read_frames_raw dtype default); physical depth
+        # is nonnegative, where int16 bit-matches uint16 — a free view.
+        # The min() scan (one SIMD pass) guards the theoretical negative.
+        if frames.min() >= 0:
+            frames = frames.view(np.uint16)
+        else:
+            return None
     if (np.dtype(dtype) != np.uint8 or frames.dtype != np.uint16
             or frames.ndim != 3 or frames.strides[2] != 2
             or frames.strides[1] < 0 or frames.strides[0] < 0):

@@ -466,6 +466,18 @@ class PreviewVideoWriterStep(PipelineStep):
             default_keypoint_names
         self.kp_names = default_keypoint_names
         self.sub_times = {'marshal': 0.0, 'render': 0.0, 'encode': 0.0}
+        # persistent render buffers, keyed by (name, shape): fresh-page
+        # allocation per 128-frame block (~200 MB of cold pages) dominated
+        # the render on the 1-core host (benchmarks/preview_attrib.py)
+        self._bufs: dict = {}
+
+    def _buf(self, name, shape):
+        key = (name, shape[1:])
+        buf = self._bufs.get(key)
+        if buf is None or buf.shape[0] < shape[0]:
+            buf = np.zeros(shape, np.uint8)
+            self._bufs[key] = buf
+        return buf[:shape[0]]
 
     def _rotated_keypoints(self, kp_dict, n):
         cols = []
@@ -507,18 +519,33 @@ class PreviewVideoWriterStep(PipelineStep):
         for s in range(0, len(frame_idxs), block):
             e = s + block
             tb = _time.perf_counter()
+            m = len(chunk[s:e])
+            cs = self.clean_view.scale
+            ch, cw = int(masks.shape[1] * cs), int(masks.shape[2] * cs)
+            ah = int(chunk.shape[1] * self.arena_view.scale)
+            aw = int(chunk.shape[2] * self.arena_view.scale)
             arena = self.arena_view.render(
                 chunk[s:e], masks=None if arena_masks is None else arena_masks[s:e],
                 keypoints=ref_kpts[s:e],
-                boxes=None if boxes is None else boxes[s:e])
-            clean = self.clean_view.render(cropped[s:e], masks[s:e])
+                boxes=None if boxes is None else boxes[s:e],
+                out=self._buf('arena', (m, ah, aw, 3)))
+            clean = self.clean_view.render(cropped[s:e], masks[s:e],
+                                           out=self._buf('clean', (m, ch, cw, 3)))
             if rot_kpts is not None:
-                rot = self.rot_kpt_view.render(masks[s:e], rot_kpts[s:e])
-                left = self.stack_videos([clean, rot], orientation='vertical')
+                rs = self.rot_kpt_view.scale
+                rh, rw = int(masks.shape[1] * rs), int(masks.shape[2] * rs)
+                rot = self.rot_kpt_view.render(masks[s:e], rot_kpts[s:e],
+                                               out=self._buf('rot', (m, rh, rw, 3)))
+                left = self.stack_videos(
+                    [clean, rot], orientation='vertical',
+                    out=self._buf('left', (m, clean.shape[1] + rot.shape[1],
+                                           max(clean.shape[2], rot.shape[2]), 3)))
             else:
                 left = clean
-            composite = self.stack_videos([left, arena],
-                                          orientation='horizontal')
+            composite = self.stack_videos(
+                [left, arena], orientation='horizontal',
+                out=self._buf('comp', (m, max(left.shape[1], arena.shape[1]),
+                                       left.shape[2] + arena.shape[2], 3)))
             tr = _time.perf_counter()
             self.writer.write_frames(frame_idxs[s:e], composite)
             te = _time.perf_counter()

@@ -38,9 +38,15 @@ def colorize_video(frames: np.ndarray, vmin: float = 0, vmax: float = 100,
     return apply_colormap_jet(np.asarray(frames), vmin, vmax)
 
 
-def stack_videos(videos, orientation: str = 'horizontal') -> np.ndarray:
+def stack_videos(videos, orientation: str = 'horizontal',
+                 out: Optional[np.ndarray] = None) -> np.ndarray:
     '''Stack equal-length RGB videos into one composite
-    (m2de/proc/proc.py:20-62). orientation: horizontal|vertical|diagional.'''
+    (m2de/proc/proc.py:20-62). orientation: horizontal|vertical|diagional.
+
+    ``out`` reuses a caller-held buffer (fresh-page allocation is the
+    preview's hottest cost on a 1-core host); its padding regions must
+    already be zero — the data sub-rectangles are identical every call, so
+    a buffer from ``np.zeros`` stays valid across reuses.'''
     videos = [np.asarray(v) for v in videos]
     nframes = videos[0].shape[0]
     channels = videos[0].shape[3]
@@ -58,7 +64,13 @@ def stack_videos(videos, orientation: str = 'horizontal') -> np.ndarray:
     else:
         raise ValueError(f'Unknown orientation "{orientation}"')
 
-    out = np.zeros((nframes, height, width, channels), videos[0].dtype)
+    if out is not None:
+        expect = (nframes, height, width, channels)
+        if out.shape != expect or out.dtype != videos[0].dtype:
+            raise ValueError(f'out must be {expect} {videos[0].dtype}, '
+                             f'got {out.shape} {out.dtype}')
+    else:
+        out = np.zeros((nframes, height, width, channels), videos[0].dtype)
     off_h = off_w = 0
     for v in videos:
         if orientation == 'horizontal':
@@ -227,14 +239,23 @@ def visualize_inference(frame: np.ndarray, prediction: Dict[str, np.ndarray],
 # composited views (m2de/viz.py:524-620)
 # ---------------------------------------------------------------------------
 
-def _gray_chunk_to_rgb(frames: np.ndarray) -> np.ndarray:
-    '''(N, H, W) uint8 -> (N, H, W, 3) RGB in one SIMD pass.'''
+def _gray_chunk_to_rgb(frames: np.ndarray,
+                       out: Optional[np.ndarray] = None) -> np.ndarray:
+    '''(N, H, W) uint8 -> (N, H, W, 3) RGB in one SIMD pass.
+
+    ``out`` reuses a persistent buffer: a fresh (N, H, W, 3) allocation per
+    block is ~60 MB of cold pages, and kernel page-zeroing dominated the
+    whole arena render (7 s / 1000 frames measured) on the 1-core host.'''
     frames = np.ascontiguousarray(frames)
     n, h, w = frames.shape
+    if out is None:
+        out = np.empty((n, h, w, 3), np.uint8)
     if HAS_CV2:
-        return cv2.cvtColor(frames.reshape(n * h, w), cv2.COLOR_GRAY2RGB) \
-            .reshape(n, h, w, 3)
-    return np.repeat(frames[..., None], 3, axis=-1)
+        cv2.cvtColor(frames.reshape(n * h, w), cv2.COLOR_GRAY2RGB,
+                     dst=out.reshape(n * h, w, 3))
+    else:
+        out[...] = frames[..., None]
+    return out
 
 
 _BLEND_LUTS: dict = {}
@@ -297,11 +318,14 @@ class ArenaView:
 
     def render(self, frames: np.ndarray, masks: Optional[np.ndarray] = None,
                keypoints: Optional[np.ndarray] = None,
-               boxes: Optional[np.ndarray] = None) -> np.ndarray:
+               boxes: Optional[np.ndarray] = None,
+               out: Optional[np.ndarray] = None) -> np.ndarray:
         '''frames (N, H, W) uint8 already intensity-scaled; masks (N, H, W)
         cropped-or-full instance masks; keypoints (N, K, 3) arena px;
-        boxes (N, B, 4) arena px (NaN rows skipped).'''
-        video = _gray_chunk_to_rgb(frames)
+        boxes (N, B, 4) arena px (NaN rows skipped). ``out`` (only honored
+        at scale 1.0) reuses a persistent (N, H, W, 3) uint8 buffer.'''
+        video = _gray_chunk_to_rgb(
+            frames, out=out if self.scale == 1.0 else None)
         if self.scale != 1.0 and HAS_CV2:
             n, h, w = frames.shape
             sh, sw = int(h * self.scale), int(w * self.scale)
@@ -336,12 +360,18 @@ class RotatedKeypointsView:
     def __init__(self, scale: float = 1.5):
         self.scale = scale
 
-    def render(self, masks: np.ndarray, rot_keypoints: np.ndarray) -> np.ndarray:
+    def render(self, masks: np.ndarray, rot_keypoints: np.ndarray,
+               out: Optional[np.ndarray] = None) -> np.ndarray:
         '''masks (N, h, w) uint8/bool crops; rot_keypoints (N, K, 2+) px
-        relative to the crop center.'''
+        relative to the crop center. ``out`` reuses a persistent
+        (N, sh, sw, 3) uint8 buffer (memset beats cold-page allocation).'''
         n, h, w = masks.shape
         sh, sw = int(h * self.scale), int(w * self.scale)
-        video = np.zeros((n, sh, sw, 3), dtype='uint8')
+        if out is not None and out.shape == (n, sh, sw, 3):
+            video = out
+            video.fill(0)
+        else:
+            video = np.zeros((n, sh, sw, 3), dtype='uint8')
         origin = np.array([sw // 2, sh // 2], 'float64')
         for i in range(n):
             if HAS_CV2 and self.scale != 1.0:
@@ -364,14 +394,24 @@ class CleanedFramesView:
         self.vmax = vmax
         self.scale = scale
 
-    def render(self, clean_frames: np.ndarray, masks: np.ndarray) -> np.ndarray:
+    def render(self, clean_frames: np.ndarray, masks: np.ndarray,
+               out: Optional[np.ndarray] = None) -> np.ndarray:
+        '''``out`` reuses a persistent (N, h*scale, w*scale, 3) uint8
+        buffer for the (scaled) output.'''
         video = apply_colormap_jet(
             np.asarray(clean_frames) * (np.asarray(masks) > 0),
-            self.vmin, self.vmax)
+            self.vmin, self.vmax,
+            out=out if self.scale == 1.0 else None)
         if self.scale != 1.0 and HAS_CV2:
             n, h, w = video.shape[:3]
             sh, sw = int(h * self.scale), int(w * self.scale)
-            video = np.stack([cv2.resize(video[i], (sw, sh)) for i in range(n)])
+            if out is not None and out.shape == (n, sh, sw, 3):
+                scaled = out
+            else:
+                scaled = np.empty((n, sh, sw, 3), np.uint8)
+            for i in range(n):
+                cv2.resize(video[i], (sw, sh), dst=scaled[i])
+            video = scaled
         return video
 
 

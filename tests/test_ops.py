@@ -291,3 +291,27 @@ class TestNativePrepParity:
         frames = rng.integers(0, 900, size=(2, 16, 16)).astype('uint16')
         assert preprocess._prep_frames_host_native(
             frames, None, None, 5, 100, 'uint16') is None
+
+    def test_int16_session_dtype_takes_native_path(self, rng, monkeypatch):
+        ''''<i2' is the session's on-disk depth convention
+        (m2de/io/video.py:77): the native core must engage on it (it fell
+        back to the ~8-pass numpy path before, 78x slower) and stay
+        bit-identical.'''
+        from moseq2_detectron_extract_tpu.ops import preprocess
+        frames = rng.integers(0, 1200, size=(4, 60, 70)).astype('<i2')
+        frames[rng.random(frames.shape) < 0.02] = 0
+        bg = np.full((60, 70), 700.0, np.float32)
+        roi = np.zeros((60, 70), bool)
+        roi[5:55, 8:63] = True
+        assert preprocess._prep_frames_host_native(
+            frames, bg, roi, 10, 100, 'uint8') is not None
+        native, ref = self._both_paths(
+            monkeypatch, frames, bground_im=bg, roi=roi, vmin=10, vmax=100)
+        np.testing.assert_array_equal(native, ref)
+
+    def test_int16_negative_values_fall_back(self, rng):
+        from moseq2_detectron_extract_tpu.ops import preprocess
+        frames = rng.integers(0, 900, size=(2, 16, 16)).astype('<i2')
+        frames[0, 3, 3] = -2  # int16 bits would misread as uint16 65534
+        assert preprocess._prep_frames_host_native(
+            frames, None, None, 5, 100, 'uint8') is None
