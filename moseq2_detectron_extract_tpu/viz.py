@@ -44,9 +44,10 @@ def stack_videos(videos, orientation: str = 'horizontal',
     (m2de/proc/proc.py:20-62). orientation: horizontal|vertical|diagional.
 
     ``out`` reuses a caller-held buffer (fresh-page allocation is the
-    preview's hottest cost on a 1-core host); its padding regions must
-    already be zero — the data sub-rectangles are identical every call, so
-    a buffer from ``np.zeros`` stays valid across reuses.'''
+    preview's hottest cost on a 1-core host). Padding regions are zeroed
+    explicitly each call — cheap memset over warm pages — so a reused
+    buffer may carry arbitrary garbage (e.g. frame-number stamps the
+    preview writer draws into the composite's padding corner).'''
     videos = [np.asarray(v) for v in videos]
     nframes = videos[0].shape[0]
     channels = videos[0].shape[3]
@@ -64,7 +65,8 @@ def stack_videos(videos, orientation: str = 'horizontal',
     else:
         raise ValueError(f'Unknown orientation "{orientation}"')
 
-    if out is not None:
+    reused = out is not None
+    if reused:
         expect = (nframes, height, width, channels)
         if out.shape != expect or out.dtype != videos[0].dtype:
             raise ValueError(f'out must be {expect} {videos[0].dtype}, '
@@ -75,11 +77,18 @@ def stack_videos(videos, orientation: str = 'horizontal',
     for v in videos:
         if orientation == 'horizontal':
             out[:, :v.shape[1], off_w:off_w + v.shape[2]] = v
+            if reused and v.shape[1] < height:
+                out[:, v.shape[1]:, off_w:off_w + v.shape[2]] = 0
             off_w += v.shape[2]
         elif orientation == 'vertical':
             out[:, off_h:off_h + v.shape[1], :v.shape[2]] = v
+            if reused and v.shape[2] < width:
+                out[:, off_h:off_h + v.shape[1], v.shape[2]:] = 0
             off_h += v.shape[1]
         else:
+            if reused:
+                out[:, off_h:off_h + v.shape[1], :off_w] = 0
+                out[:, off_h:off_h + v.shape[1], off_w + v.shape[2]:] = 0
             out[:, off_h:off_h + v.shape[1], off_w:off_w + v.shape[2]] = v
             off_h += v.shape[1]
             off_w += v.shape[2]

@@ -95,3 +95,40 @@ class TestVisualizeInference:
         # valid instance overlay changed pixels inside its mask bbox
         plain = np.full((H, W, 3), int(0.3 * 255), 'uint8')
         assert (out[30:60, 20:70] != plain[30:60, 20:70]).any()
+
+
+class TestStackVideosOutBuffer:
+    '''stack_videos(out=) must zero padding regions itself: the preview
+    writer stamps frame numbers into the composite's padding corner
+    (ffmpeg block path), so a reused buffer carries garbage there.'''
+
+    def test_out_padding_rezeroed_horizontal(self):
+        left = np.full((2, 4, 3, 3), 7, 'uint8')
+        right = np.full((2, 10, 5, 3), 9, 'uint8')
+        buf = np.full((2, 10, 8, 3), 255, 'uint8')  # dirty reuse
+        out = viz.stack_videos([left, right], 'horizontal', out=buf)
+        assert out is buf
+        assert (out[:, :4, :3] == 7).all()
+        assert (out[:, 4:, :3] == 0).all()  # padding below the short video
+        assert (out[:, :, 3:] == 9).all()
+
+    def test_out_padding_rezeroed_vertical(self):
+        top = np.full((2, 3, 4, 3), 7, 'uint8')
+        bot = np.full((2, 5, 9, 3), 9, 'uint8')
+        buf = np.full((2, 8, 9, 3), 123, 'uint8')
+        out = viz.stack_videos([top, bot], 'vertical', out=buf)
+        assert (out[:, :3, 4:] == 0).all()
+        assert (out[:, 3:, :] == 9).all()
+
+    def test_out_padding_rezeroed_diagonal(self):
+        a = np.full((1, 3, 4, 3), 5, 'uint8')
+        b = np.full((1, 2, 6, 3), 6, 'uint8')
+        buf = np.full((1, 5, 10, 3), 200, 'uint8')
+        out = viz.stack_videos([a, b], 'diagional', out=buf)
+        ref = viz.stack_videos([a, b], 'diagional')
+        np.testing.assert_array_equal(out, ref)
+
+    def test_out_shape_mismatch_raises(self):
+        a = np.zeros((1, 3, 4, 3), 'uint8')
+        with np.testing.assert_raises(ValueError):
+            viz.stack_videos([a], out=np.zeros((1, 3, 5, 3), 'uint8'))
