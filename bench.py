@@ -71,7 +71,8 @@ def build_config(output_dir, predictor, nframes):
         'bg_roi_gradient_kernel': 7, 'bg_roi_fill_holes': True,
         'use_plane_bground': False, 'output_dir': output_dir,
         'frame_dtype': 'uint8', 'min_height': 0, 'max_height': 100,
-        'crop_size': (80, 80), 'frame_trim': (0, 0), 'chunk_size': 1000,
+        'crop_size': (80, 80), 'frame_trim': (0, 0),
+        'chunk_size': int(os.environ.get('BENCH_CHUNK_SIZE', 1000)),
         'chunk_overlap': 0, 'fps': 30, 'use_tracking': True,
         'debug_feature_processing': False, 'use_tracking_model': False,
         'device_input': os.environ.get('BENCH_DEVICE_INPUT', 'full'),
