@@ -171,9 +171,10 @@ def main():
     # BENCH_MODEL: a trained model dir. Defaults to the COMMITTED
     # production-config checkpoint (benchmarks/bench_model: trained by
     # benchmarks/overfit_ap.py on the TPU to AP50 bbox/segm/kp =
-    # 90.6/90.6/94.9 — measured under the pre-bf16-fix effective-f32
-    # inference; re-validate after AMP changes) so the headline measures
-    # honest detection density at the production threshold 0.5. Set
+    # 90.6/90.6/94.9; re-validated on-chip 2026-08-18 under genuine-bf16
+    # inference via benchmarks/validate_bench_model.py — detection rate
+    # 1.0, mean top score 0.9989 under BOTH bf16 and f32) so the headline
+    # measures honest detection density at the production threshold 0.5. Set
     # BENCH_MODEL=random for the old random-init mode (detections capped at
     # 1; same compute per frame — the whole pipeline is static-shape).
     model_dir = os.environ.get('BENCH_MODEL')
