@@ -44,7 +44,14 @@ def timed_device_loop(program, params, images, sizes, inner=8, lo=1):
     iteration depends on the previous via an epsilon input perturbation, so
     XLA cannot hoist or dedupe), at n=lo and n=inner; the slope
     (t_hi - t_lo) / (inner - lo) cancels every fixed cost (RTT, dispatch,
-    D2H of the result scalar) exactly.'''
+    D2H of the result scalar) exactly.
+
+    The carry folds in EVERY output leaf: an earlier version carried only
+    ``tree_leaves(out)[0]``, which let XLA dead-code-eliminate the mask /
+    keypoint heads, full-res paste and fused select out of the timed
+    program and report ~1000 fps for a program that really sustains ~270
+    (verified against isolated top-level dispatches and back-to-back
+    queued executions, all ~0.237 s/batch-64).'''
     import functools
     import jax
     import jax.numpy as jnp
@@ -53,8 +60,10 @@ def timed_device_loop(program, params, images, sizes, inner=8, lo=1):
     def loop(p, x, s, n):
         def body(i, carry):
             out = program(p, x + carry * 1e-30, s)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return jnp.ravel(leaf.astype(jnp.float32))[0]
+            tot = jnp.float32(0)
+            for leaf in jax.tree_util.tree_leaves(out):
+                tot = tot + jnp.sum(leaf.astype(jnp.float32))
+            return tot
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     def one(n):
