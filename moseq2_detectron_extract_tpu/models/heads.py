@@ -121,34 +121,36 @@ def paste_masks(mask_logits: jnp.ndarray, boxes: jnp.ndarray,
 
     Bilinear inverse of ROI cropping (D2 paste_masks_in_image semantics with
     half-pixel alignment). Returns (D, H, W) bool.
+
+    Bilinear interpolation is separable, so the paste is computed as two
+    small matmuls per detection — ``Wy @ mask @ Wx`` with triangle-kernel
+    weight matrices ``Wy (H, s)`` / ``Wx (s, W)`` — instead of four
+    per-pixel dynamic gathers over the canvas. The gather formulation was
+    measured at 170 ms of the 237 ms production inference batch on a v5e
+    (72% of the whole program); the matmul form maps onto the MXU exactly
+    like the Pallas separable ROIAlign (ops/pallas_roi_align.py).
+    ``relu(1 - |m - i|)`` reproduces the zero-padded bilinear taps exactly,
+    including the partial edge weights for mask coords in (-1, 0) and
+    (s-1, s).
     '''
     d, s, _ = mask_logits.shape[:3]
     h, w = image_size
-    ygrid = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5
-    xgrid = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, 1), 0) + 0.5   # pixel centers
+    xs = jax.lax.broadcasted_iota(jnp.float32, (1, w), 1) + 0.5
+    idx = jax.lax.broadcasted_iota(jnp.float32, (1, s), 1)        # mask grid
 
     def one(mask, box):
         x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
         bw = jnp.maximum(x2 - x1, 1e-3)
         bh = jnp.maximum(y2 - y1, 1e-3)
         # map image pixel centers into mask grid coords
-        mx = (xgrid - x1) / bw * s - 0.5
-        my = (ygrid - y1) / bh * s - 0.5
-        x0 = jnp.floor(mx)
-        y0 = jnp.floor(my)
-        fx = mx - x0
-        fy = my - y0
-
-        def tap(yi, xi):
-            inb = (xi >= 0) & (xi < s) & (yi >= 0) & (yi < s)
-            v = mask[jnp.clip(yi, 0, s - 1), jnp.clip(xi, 0, s - 1)]
-            return jnp.where(inb, v, 0.0)
-
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
-        v = (tap(y0i, x0i) * (1 - fx) * (1 - fy) + tap(y0i, x0i + 1) * fx * (1 - fy)
-             + tap(y0i + 1, x0i) * (1 - fx) * fy + tap(y0i + 1, x0i + 1) * fx * fy)
-        inside = (xgrid >= x1) & (xgrid <= x2 + 1) & (ygrid >= y1) & (ygrid <= y2 + 1)
-        return (v >= threshold) & inside
+        my = (ys - y1) / bh * s - 0.5                              # (H, 1)
+        mx = (xs - x1) / bw * s - 0.5                              # (1, W)
+        wy = jnp.maximum(1.0 - jnp.abs(my - idx), 0.0)             # (H, s)
+        wx = jnp.maximum(1.0 - jnp.abs(mx.T - idx), 0.0)           # (W, s)
+        v = wy @ mask @ wx.T                                       # (H, W)
+        yin = (ys[:, 0] >= y1) & (ys[:, 0] <= y2 + 1)
+        xin = (xs[0] >= x1) & (xs[0] <= x2 + 1)
+        return (v >= threshold) & yin[:, None] & xin[None, :]
 
     return jax.vmap(one)(jax.nn.sigmoid(mask_logits.astype(jnp.float32)), boxes)
