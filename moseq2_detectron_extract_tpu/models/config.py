@@ -45,6 +45,14 @@ class ModelConfig:
     # TEST.DETECTIONS_PER_IMAGE=1 in the reference) at identical AP while
     # cutting the box-stage traffic 4x. Set 1000 to mirror D2.
     rpn_post_nms_topk_test: int = 256
+    # test-time NMS candidate pool: global top-K (across levels) before the
+    # O(K^2) IoU matrix. Greedy NMS decides each box only from higher-ranked
+    # boxes, so the capped run's output is exact whenever >= post_nms_topk
+    # candidates survive (measured: ~99% survive at IoU 0.7 on RPN output).
+    # 25x less NMS memory traffic than the 5-level x 1000 pool; also lets
+    # the per-image NMS batch via vmap instead of a sequential lax.map.
+    # Set to 0/None to disable (exact D2 pool).
+    rpn_nms_global_cap: int = 1024
     rpn_nms_thresh: float = 0.7
     rpn_batch_size_per_image: int = 256
     rpn_positive_fraction: float = 0.5

@@ -87,17 +87,28 @@ class MaskKeypointRCNN(nn.Module):
         pre_k = self.cfg.rpn_pre_nms_topk_train if train else self.cfg.rpn_pre_nms_topk_test
         post_k = self.cfg.rpn_post_nms_topk_train if train else self.cfg.rpn_post_nms_topk_test
 
+        cap = None if train else (self.cfg.rpn_nms_global_cap or None)
+
         def per_image(img_logits, img_deltas, img_size):
             return select_proposals(anchors, img_logits, img_deltas,
                                     (img_size[0], img_size[1]),
                                     pre_k, post_k, self.cfg.rpn_nms_thresh,
-                                    self.cfg.rpn_box_reg_weights)
+                                    self.cfg.rpn_box_reg_weights,
+                                    global_cap=cap)
 
-        # lax.map (not vmap): the per-image NMS builds O(P^2) IoU matrices
-        # whose batched materialization would blow HBM at large batch sizes
-        boxes, scores, valid = jax.lax.map(
-            lambda args: per_image(args[0], args[1], args[2]),
-            ([l for l in logits], [d for d in deltas], image_sizes))
+        if cap is not None:
+            # capped pool: the per-image IoU matrix is cap^2 (~4 MB), so the
+            # whole batch's NMS vmaps into ONE batched program instead of a
+            # sequential per-image loop (64 x ~0.2 ms of serialized matrix
+            # builds at the uncapped 5000-candidate pool)
+            boxes, scores, valid = jax.vmap(per_image)(
+                [l for l in logits], [d for d in deltas], image_sizes)
+        else:
+            # lax.map (not vmap): the uncapped per-image NMS builds O(P^2)
+            # IoU matrices whose batched materialization would blow HBM
+            boxes, scores, valid = jax.lax.map(
+                lambda args: per_image(args[0], args[1], args[2]),
+                ([l for l in logits], [d for d in deltas], image_sizes))
         return boxes, scores, valid, (logits, deltas, anchors)
 
     # ------------------------------------------------------------------- init

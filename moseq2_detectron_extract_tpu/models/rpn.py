@@ -44,11 +44,22 @@ def select_proposals(anchors_per_level: Sequence[jnp.ndarray],
                      deltas_per_level: Sequence[jnp.ndarray],
                      image_size: Tuple[int, int],
                      pre_nms_topk: int, post_nms_topk: int,
-                     nms_thresh: float, box_reg_weights):
+                     nms_thresh: float, box_reg_weights,
+                     global_cap: int = None):
     '''Single-image proposal selection -> (boxes (P, 4), scores (P,), valid (P,)).
 
     P = post_nms_topk (static). Mirrors D2 find_top_rpn_proposals: per-level
     pre-NMS topk, decode, clip, drop empties, level-aware NMS, global topk.
+
+    ``global_cap``: optionally restrict the NMS candidate pool to the global
+    top-``cap`` boxes by score (across levels). Greedy NMS decides each box
+    purely from HIGHER-ranked boxes, so the kept set inside the top-``cap``
+    is bitwise identical to the uncapped run's kept set restricted to those
+    boxes — the final top-``post_nms_topk`` output is EXACT whenever at
+    least ``post_nms_topk`` of the capped candidates survive (always, in
+    practice: suppression at IoU>0.7 removes well under 75%% of RPN
+    candidates). The IoU matrix shrinks (n_levels*pre_topk)^2 ->
+    cap^2 — 25x less NMS memory traffic at the production shape.
     '''
     cand_boxes, cand_scores, cand_levels, cand_valid = [], [], [], []
     for level, (anchors, logits, deltas) in enumerate(
@@ -71,6 +82,16 @@ def select_proposals(anchors_per_level: Sequence[jnp.ndarray],
     scores = jnp.concatenate(cand_scores)
     levels = jnp.concatenate(cand_levels)
     valid = jnp.concatenate(cand_valid)
+
+    if global_cap is not None and global_cap < scores.shape[0]:
+        # lax.top_k is stable, so equal scores keep their concatenation
+        # order — the NMS index tie-break below is unchanged by the cap
+        cap_scores, cap_idx = jax.lax.top_k(
+            jnp.where(valid, scores, -jnp.inf), global_cap)
+        boxes = boxes[cap_idx]
+        scores = scores[cap_idx]
+        levels = levels[cap_idx]
+        valid = jnp.isfinite(cap_scores)
 
     keep = batched_nms_keep_mask(boxes, scores, levels, nms_thresh, valid=valid)
     masked_scores = jnp.where(keep, scores, -jnp.inf)

@@ -67,6 +67,48 @@ class TestNMS:
         np.testing.assert_array_equal(keep, [True, False])
 
 
+class TestSelectProposalsGlobalCap:
+    '''The test-time global NMS candidate cap must be exact: greedy NMS
+    decides each box only from higher-ranked boxes, so capping the pool to
+    the global top-K cannot change which of those boxes are kept.'''
+
+    def _random_inputs(self, seed, n_anchors=(96, 48, 24)):
+        from moseq2_detectron_extract_tpu.models.rpn import select_proposals
+        rng = np.random.default_rng(seed)
+        anchors, logits, deltas = [], [], []
+        for n in n_anchors:
+            centers = rng.uniform(30, 200, (n, 2))
+            sizes = rng.uniform(10, 60, (n, 2))
+            anchors.append(jnp.asarray(np.concatenate(
+                [centers - sizes / 2, centers + sizes / 2], axis=1), jnp.float32))
+            logits.append(jnp.asarray(rng.normal(0, 2, n), jnp.float32))
+            deltas.append(jnp.asarray(rng.normal(0, 0.1, (n, 4)), jnp.float32))
+        return select_proposals, anchors, logits, deltas
+
+    @pytest.mark.parametrize('seed', [0, 1])
+    def test_capped_equals_uncapped(self, seed):
+        fn, anchors, logits, deltas = self._random_inputs(seed)
+        kwargs = dict(image_size=(256, 256), pre_nms_topk=64, post_nms_topk=32,
+                      nms_thresh=0.7, box_reg_weights=(1.0, 1.0, 1.0, 1.0))
+        b0, s0, v0 = fn(anchors, logits, deltas, **kwargs)
+        b1, s1, v1 = fn(anchors, logits, deltas, global_cap=96, **kwargs)
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1))
+        np.testing.assert_allclose(np.asarray(b0), np.asarray(b1))
+
+    def test_tied_scores_keep_order(self):
+        fn, anchors, logits, deltas = self._random_inputs(3)
+        # quantize scores so ties are common; the stable top_k + index
+        # tie-break must agree between capped and uncapped runs
+        logits = [jnp.round(l) for l in logits]
+        kwargs = dict(image_size=(256, 256), pre_nms_topk=64, post_nms_topk=32,
+                      nms_thresh=0.7, box_reg_weights=(1.0, 1.0, 1.0, 1.0))
+        b0, s0, v0 = fn(anchors, logits, deltas, **kwargs)
+        b1, s1, v1 = fn(anchors, logits, deltas, global_cap=128, **kwargs)
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+        np.testing.assert_allclose(np.asarray(b0), np.asarray(b1))
+
+
 class TestBoxes:
     def test_encode_decode_round_trip(self, rng):
         src = rng.uniform(0, 100, (20, 2))
