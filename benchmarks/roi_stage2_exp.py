@@ -179,6 +179,8 @@ def make_variant(kernel_fn, block_k):
                 + ([pltpu.VMEM((wmax, block_k * out_sz, c), dtype)]
                    if kernel_fn is _kernel_retile_peroy else [])
                 + [pltpu.SemaphoreType.DMA]),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(wy, wx, f_mat)
         return pooled[:, :k]
@@ -227,8 +229,10 @@ def main():
     on_tpu = jax.default_backend() == 'tpu'
     out_sz = 7
 
-    # correctness first, tiny shape (interpret mode off-TPU is slow)
-    feats_s, boxes_s = make_inputs(b=2, k=16, c=128, canvas=128, seed=1)
+    # correctness first, small shape. canvas must keep h_total = sum of
+    # level heights a multiple of 8 (sublane tiling of the f_mat DMA slice):
+    # 256 -> 64+32+16+8 = 120. canvas 128 gives 60 and Mosaic rejects it.
+    feats_s, boxes_s = make_inputs(b=2, k=16, c=128, canvas=256, seed=1)
     ref = np.asarray(separable_batched_roi_align(feats_s, boxes_s, out_sz))
     for name, kern in (('retile', _kernel_retile_peroy),
                        ('transpose', _kernel_transpose),
@@ -245,21 +249,26 @@ def main():
         return
 
     feats, boxes = make_inputs()
-    rows = []
+    print(f'\nbox-stage shape: 64x256 ROIs, canvas 256, C=256, out {out_sz}')
     base = timed_slope(lambda f, bx: pallas_separable_roi_align(f, bx, out_sz),
                        (feats, boxes))
-    rows.append(('base (shipping)', 8, base))
+    print(f'  {"base (shipping)":18s} block_k=  8  {base * 1e3:7.2f} ms/batch',
+          flush=True)
     for name, kern in (('retile', _kernel_retile_peroy),
                        ('transpose', _kernel_transpose),
                        ('dotswap', _kernel_dotswap)):
         for bk in (8, 16):
             impl = make_variant(kern, bk)
-            t = timed_slope(
-                lambda f, bx, impl=impl: impl(f, bx, out_sz), (feats, boxes))
-            rows.append((name, bk, t))
-    print(f'\nbox-stage shape: 64x256 ROIs, canvas 256, C=256, out {out_sz}')
-    for name, bk, t in rows:
-        print(f'  {name:18s} block_k={bk:3d}  {t * 1e3:7.2f} ms/batch')
+            try:
+                t = timed_slope(
+                    lambda f, bx, impl=impl: impl(f, bx, out_sz),
+                    (feats, boxes))
+            except Exception as e:  # compile/vmem failures: report, continue
+                print(f'  {name:18s} block_k={bk:3d}  FAILED: '
+                      f'{str(e).splitlines()[0][:120]}', flush=True)
+                continue
+            print(f'  {name:18s} block_k={bk:3d}  {t * 1e3:7.2f} ms/batch',
+                  flush=True)
 
 
 if __name__ == '__main__':

@@ -54,11 +54,16 @@ def _kernel(wy_ref, wx_ref, f_hbm, out_ref, f_vmem, t_vmem, sem, *,
                       preferred_element_type=jnp.float32)
         t_vmem[:, j * seg:(j + 1) * seg] = acc.astype(t_vmem.dtype)
 
-    # stage 2: out[i, ox, oy, cc] = sum_w Wx[i, ox, w] * T[i, oy, w, cc]
+    # stage 2: out[i, oy, ox, cc] = sum_w T[i, oy, w, cc] * Wx[i, ox, w].
+    # T is the LHS so the matmul's free/M side is (oy, C) — full sublane
+    # occupancy — instead of Wx's M=out (7/128 rows, measured 0.7% MXU
+    # efficiency). A/B of 3 formulations in benchmarks/roi_stage2_exp.py:
+    # wx-lhs 28.2 ms, block-diagonal retile 18.1 ms, this one 16.1 ms at
+    # the production box-stage shape.
     t = t_vmem[:].reshape(block_k, out_sz, wmax, c)
-    r = jax.lax.dot_general(wx_ref[0], t, (((2,), (2,)), ((0,), (0,))),
+    r = jax.lax.dot_general(t, wx_ref[0], (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
-    out_ref[0] = jnp.swapaxes(r, 1, 2).astype(out_ref.dtype)
+    out_ref[0] = jnp.transpose(r, (0, 1, 3, 2)).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('output_size', 'min_level',
@@ -101,6 +106,11 @@ def _pallas_impl(features, boxes, output_size, min_level, block_k, interpret):
             pltpu.VMEM((block_k * out_sz, wmax * c), dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        # block_k=16 at the box stage puts ~12 MB in VMEM (pyramid + T
+        # scratches + f32 out block + stage-2 intermediates); raise the
+        # 16 MB default scoped limit so the compiler has headroom
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(wy, wx, f_mat)
     return pooled[:, :k]
@@ -122,10 +132,12 @@ def pallas_separable_roi_align(features, boxes, output_size: int,
     interpret mode — same algebra, far faster in tests.
 
     Measured v5e, batch 64 x 256 ROIs, C=256, canvas 256 (slope-timed):
-    gather path 108 ms -> XLA separable 29 ms -> this kernel 25.5 ms.
-    Per-block attribution: ~1.2 us grid/DMA overhead, ~1.6 us stage-1
-    matmul, ~9.7 us stage-2 (the BK batched (7, W) @ (W, 7C) matmuls
-    stream N=7C columns per ROI through one MXU — the remaining wall).
+    gather path 108 ms -> XLA separable 29 ms -> fused kernel 25.5 ms ->
+    16.1 ms after the stage-2 operand swap (T as LHS: M=(oy, C) full
+    sublane occupancy vs the original Wx-LHS M=7, which ran at 0.7% MXU
+    efficiency, ~9.7 us of the 12.5 us block). Formulation A/B in
+    benchmarks/roi_stage2_exp.py (block-diagonal retile and Mosaic
+    4-D-transpose variants both lose to the operand swap).
     '''
     if interpret is None:
         if jax.default_backend() != 'tpu':
@@ -133,6 +145,6 @@ def pallas_separable_roi_align(features, boxes, output_size: int,
                                                min_level=min_level)
         interpret = False
     if block_k is None:
-        block_k = 8 if output_size <= 7 else 4
+        block_k = 16 if output_size <= 7 else 4
     return _pallas_impl(tuple(features), boxes, output_size, min_level,
                         block_k, interpret)
