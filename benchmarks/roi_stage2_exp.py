@@ -130,7 +130,31 @@ def _kernel_dotswap(wy_ref, wx_ref, f_hbm, out_ref, f_vmem, t_vmem, sem, *,
     out_ref[0] = jnp.transpose(r, (0, 1, 3, 2)).astype(out_ref.dtype)
 
 
-def make_variant(kernel_fn, block_k):
+def _kernel_noxpose(wy_ref, wx_ref, f_hbm, out_ref, f_vmem, t_vmem, sem, *,
+                    block_k, out_sz, c, wmax):
+    '''dotswap WITHOUT the in-kernel lane transpose: the dot_general result
+    (i, oy, c, ox) is written as-is; consumers handle the permuted layout
+    (the box head's flatten->FC only needs its weight rows permuted).'''
+    bb = pl.program_id(0)
+    kb = pl.program_id(1)
+
+    @pl.when(kb == 0)
+    def _():
+        dma = pltpu.make_async_copy(f_hbm.at[bb], f_vmem, sem)
+        dma.start()
+        dma.wait()
+
+    _stage1(wy_ref, f_vmem, t_vmem)
+
+    t = t_vmem[:].reshape(block_k, out_sz, wmax, c)
+    r = jax.lax.dot_general(t, wx_ref[0], (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    out_ref[0] = r.astype(out_ref.dtype)
+
+
+def make_variant(kernel_fn, block_k, out_dtype=jnp.float32):
+    permuted = kernel_fn is _kernel_noxpose
+
     @functools.partial(jax.jit, static_argnames=('output_size', 'min_level',
                                                  'interpret'))
     def impl(features, boxes, output_size, min_level=2, interpret=False):
@@ -146,7 +170,7 @@ def make_variant(kernel_fn, block_k):
             wx = jnp.pad(wx, ((0, 0), (0, pad), (0, 0), (0, 0)))
         kp = k + pad
         wy = wy.reshape(b, kp * out_sz, h_total)
-        if kernel_fn is not _kernel_dotswap:
+        if kernel_fn not in (_kernel_dotswap, _kernel_noxpose):
             # block-diag variants get wx pre-flattened: Mosaic rejects the
             # (bk, out, wmax) -> (bk*out, wmax) shape cast in-kernel
             wx = wx.reshape(b, kp * out_sz, wmax)
@@ -168,11 +192,14 @@ def make_variant(kernel_fn, block_k):
                 wx_spec,
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
-            out_specs=pl.BlockSpec((1, block_k, out_sz, out_sz, c),
-                                   lambda bb, kb: (bb, kb, 0, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((b, kp, out_sz, out_sz, c),
-                                           jnp.float32),
+            out_specs=pl.BlockSpec(
+                (1, block_k, out_sz, c, out_sz) if permuted else
+                (1, block_k, out_sz, out_sz, c),
+                lambda bb, kb: (bb, kb, 0, 0, 0),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (b, kp, out_sz, c, out_sz) if permuted else
+                (b, kp, out_sz, out_sz, c), out_dtype),
             scratch_shapes=(
                 [pltpu.VMEM((h_total, wmax * c), dtype),
                  pltpu.VMEM((block_k * out_sz, wmax * c), dtype)]
@@ -234,12 +261,16 @@ def main():
     # 256 -> 64+32+16+8 = 120. canvas 128 gives 60 and Mosaic rejects it.
     feats_s, boxes_s = make_inputs(b=2, k=16, c=128, canvas=256, seed=1)
     ref = np.asarray(separable_batched_roi_align(feats_s, boxes_s, out_sz))
-    for name, kern in (('retile', _kernel_retile_peroy),
-                       ('transpose', _kernel_transpose),
-                       ('dotswap', _kernel_dotswap)):
-        impl = make_variant(kern, block_k=8)
+    for name, kern, dt in (('retile', _kernel_retile_peroy, jnp.float32),
+                           ('transpose', _kernel_transpose, jnp.float32),
+                           ('dotswap', _kernel_dotswap, jnp.float32),
+                           ('noxpose', _kernel_noxpose, jnp.float32),
+                           ('noxpose-bf16', _kernel_noxpose, jnp.bfloat16)):
+        impl = make_variant(kern, block_k=8, out_dtype=dt)
         got = np.asarray(impl(feats_s, boxes_s, out_sz,
-                              interpret=not on_tpu))
+                              interpret=not on_tpu), np.float32)
+        if kern is _kernel_noxpose:
+            got = got.transpose(0, 1, 2, 4, 3)  # (b,k,oy,c,ox)->(b,k,oy,ox,c)
         err = np.max(np.abs(got - ref))
         print(f'{name}: max abs err vs XLA separable = {err:.5f}')
         assert err < 0.05, name
@@ -254,11 +285,13 @@ def main():
                        (feats, boxes))
     print(f'  {"base (shipping)":18s} block_k=  8  {base * 1e3:7.2f} ms/batch',
           flush=True)
-    for name, kern in (('retile', _kernel_retile_peroy),
-                       ('transpose', _kernel_transpose),
-                       ('dotswap', _kernel_dotswap)):
+    for name, kern, dt in (('retile', _kernel_retile_peroy, jnp.float32),
+                           ('transpose', _kernel_transpose, jnp.float32),
+                           ('dotswap', _kernel_dotswap, jnp.float32),
+                           ('noxpose', _kernel_noxpose, jnp.float32),
+                           ('noxpose-bf16', _kernel_noxpose, jnp.bfloat16)):
         for bk in (8, 16):
-            impl = make_variant(kern, bk)
+            impl = make_variant(kern, bk, out_dtype=dt)
             try:
                 t = timed_slope(
                     lambda f, bx, impl=impl: impl(f, bx, out_sz),

@@ -213,20 +213,24 @@ class MaskKeypointRCNN(nn.Module):
         return out
 
     def _pool(self, fpn_feats, boxes, resolution: int, train: bool = False):
-        '''Batched multilevel ROIAlign: boxes (B, K, 4) -> (B, K, r, r, C) f32.
+        '''Batched multilevel ROIAlign: boxes (B, K, 4) -> (B, K, r, r, C).
 
         Inference uses the fused Pallas separable-matmul kernel on bf16
         features (measured v5e at the 64x256-ROI box stage: 108 ms gather ->
-        25.5 ms; see ops/pallas_roi_align.py). Training keeps the f32
-        gather path: it is differentiable, remat-bounded, and its exact
-        numerics back the training regression tests.
+        25.5 ms; see ops/pallas_roi_align.py) and returns bf16: the heads
+        compute in bf16 anyway, and an f32 pooled tensor is 823 MB of HBM
+        round-trip per batch-64 box stage (~2 ms) for precision the matmul
+        never had. Training keeps the f32 gather path: it is differentiable,
+        remat-bounded, and its exact numerics back the training regression
+        tests.
         '''
         if train:
             p2_p5 = tuple(f.astype(jnp.float32) for f in fpn_feats[:4])
             return batched_multilevel_roi_align(
                 p2_p5, boxes, resolution, chunk=128).astype(jnp.float32)
         p2_p5 = tuple(f.astype(jnp.bfloat16) for f in fpn_feats[:4])
-        return pallas_separable_roi_align(p2_p5, boxes, resolution)
+        return pallas_separable_roi_align(p2_p5, boxes, resolution,
+                                          out_dtype=jnp.bfloat16)
 
     # --------------------------------------------------------------- training
     def losses(self, images, gt: Dict[str, jnp.ndarray], rng,

@@ -9,7 +9,6 @@ the optimizer can exclude them.
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 
@@ -80,48 +79,6 @@ class Bottleneck(nn.Module):
         return nn.relu(y + shortcut)
 
 
-class _SpaceToDepthStem(nn.Module):
-    '''The ResNet 7x7/s2 stem conv, computed as a 4x4/s1 conv on a 2x2
-    space-to-depth input.
-
-    A 3-channel 7x7 conv occupies 3/128 MXU input lanes. Re-expressing it
-    on the pixel-shuffled input (B, H/2, W/2, 12) quadruples lane occupancy
-    at identical algebra: with u = 2p + r (r = u mod 2) the tap
-    x[2i + dy - 3] maps to x2[i + py - 2, (ry, :)] where dy = 2py + ry - 1,
-    so W2[py, px, (ry, rx, ci)] is just the (8, 8)-zero-padded 7x7 kernel
-    reshaped — no gathers (the MLPerf-ResNet TPU stem trick). Exactly
-    equivalent to the direct conv (same multiplies; test_model_components
-    asserts 1e-5 f32 agreement), parameter-compatible with it (same
-    ``stem_conv/kernel`` path and (7, 7, 3, w) shape, so Detectron2 weight
-    conversion and existing checkpoints are untouched).
-
-    Replaces the torch stem selected by the reference's R50 config
-    (/root/reference/moseq2_detectron_extract/model/config.py:30).
-    '''
-    features: int
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        kernel = self.param('kernel', nn.initializers.lecun_normal(),
-                            (7, 7, x.shape[-1], self.features), jnp.float32)
-        b, h, wd, ci = x.shape
-        if h % 2 or wd % 2:
-            return jax.lax.conv_general_dilated(
-                x, kernel.astype(self.dtype), (2, 2), ((3, 3), (3, 3)),
-                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-                preferred_element_type=self.dtype)
-        x2 = x.reshape(b, h // 2, 2, wd // 2, 2, ci)
-        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, wd // 2, 4 * ci)
-        kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
-        k2 = kp.reshape(4, 2, 4, 2, ci, self.features)
-        k2 = k2.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * ci, self.features)
-        return jax.lax.conv_general_dilated(
-            x2, k2.astype(self.dtype), (1, 1), ((2, 1), (2, 1)),
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-            preferred_element_type=self.dtype)
-
-
 class ResNet(nn.Module):
     '''ResNet with C2..C5 feature outputs (strides 4, 8, 16, 32).
 
@@ -145,9 +102,10 @@ class ResNet(nn.Module):
         else:
             raise ValueError(f'unsupported resnet depth {self.depth}')
 
-        # stem: 7x7/2 (as a space-to-depth 4x4/s1 conv) + maxpool/2
+        # stem: 7x7/2 + maxpool/2
         w = self.width
-        y = _SpaceToDepthStem(w, dtype=self.dtype, name='stem_conv')(x)
+        y = nn.Conv(w, (7, 7), strides=2, padding=3, use_bias=False,
+                    dtype=self.dtype, name='stem_conv')(x)
         y = _norm_layer(self.norm, self.dtype)(y)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

@@ -67,8 +67,10 @@ def _kernel(wy_ref, wx_ref, f_hbm, out_ref, f_vmem, t_vmem, sem, *,
 
 
 @functools.partial(jax.jit, static_argnames=('output_size', 'min_level',
-                                             'block_k', 'interpret'))
-def _pallas_impl(features, boxes, output_size, min_level, block_k, interpret):
+                                             'block_k', 'interpret',
+                                             'out_dtype'))
+def _pallas_impl(features, boxes, output_size, min_level, block_k, interpret,
+                 out_dtype):
     b, k = boxes.shape[:2]
     c = features[0].shape[-1]
     f_mat, wy, wx = _separable_inputs(features, boxes, output_size, min_level)
@@ -100,7 +102,7 @@ def _pallas_impl(features, boxes, output_size, min_level, block_k, interpret):
                                lambda bb, kb: (bb, kb, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, kp, out_sz, out_sz, c),
-                                       jnp.float32),
+                                       out_dtype),
         scratch_shapes=[
             pltpu.VMEM((h_total, wmax * c), dtype),
             pltpu.VMEM((block_k * out_sz, wmax * c), dtype),
@@ -118,7 +120,7 @@ def _pallas_impl(features, boxes, output_size, min_level, block_k, interpret):
 
 def pallas_separable_roi_align(features, boxes, output_size: int,
                                min_level: int = 2, block_k=None,
-                               interpret=None):
+                               interpret=None, out_dtype=jnp.float32):
     '''Fused-kernel multilevel ROIAlign: (B, K, 4) boxes over batched FPN
     levels (B, H_l, W_l, C) -> (B, K, out, out, C) float32.
 
@@ -141,10 +143,11 @@ def pallas_separable_roi_align(features, boxes, output_size: int,
     '''
     if interpret is None:
         if jax.default_backend() != 'tpu':
-            return separable_batched_roi_align(features, boxes, output_size,
-                                               min_level=min_level)
+            return separable_batched_roi_align(
+                features, boxes, output_size,
+                min_level=min_level).astype(out_dtype)
         interpret = False
     if block_k is None:
         block_k = 16 if output_size <= 7 else 4
     return _pallas_impl(tuple(features), boxes, output_size, min_level,
-                        block_k, interpret)
+                        block_k, interpret, jnp.dtype(out_dtype))

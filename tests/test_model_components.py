@@ -474,42 +474,3 @@ class TestPrescaledPredictor:
         filled = fill_sentinels_host(f2.copy(), 255)
         assert filled[0, 1, 2] == 7
 
-
-class TestSpaceToDepthStem:
-    '''The s2d stem must be numerically the same conv as the direct 7x7/s2
-    (reference stem: D2 R50 BasicStem, m2de/model/config.py:30).'''
-
-    def _direct(self, x, k):
-        return jax.lax.conv_general_dilated(
-            x, k, (2, 2), ((3, 3), (3, 3)),
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-
-    def test_matches_direct_conv_f32(self):
-        from moseq2_detectron_extract_tpu.models.resnet import _SpaceToDepthStem
-        x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
-        stem = _SpaceToDepthStem(16)
-        params = stem.init(jax.random.PRNGKey(1), x)
-        got = stem.apply(params, x)
-        want = self._direct(x, params['params']['kernel'])
-        assert got.shape == want.shape
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=1e-5, atol=1e-5)
-
-    def test_odd_size_falls_back_to_direct(self):
-        from moseq2_detectron_extract_tpu.models.resnet import _SpaceToDepthStem
-        x = jax.random.normal(jax.random.PRNGKey(2), (1, 63, 65, 3))
-        stem = _SpaceToDepthStem(8)
-        params = stem.init(jax.random.PRNGKey(3), x)
-        got = stem.apply(params, x)
-        want = self._direct(x, params['params']['kernel'])
-        assert got.shape == want.shape
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=1e-5, atol=1e-5)
-
-    def test_param_path_matches_nn_conv(self):
-        # checkpoint / D2-converter compatibility: same path + shape as the
-        # nn.Conv(name='stem_conv') it replaced
-        from moseq2_detectron_extract_tpu.models.resnet import ResNet
-        net = ResNet(stage_blocks=(1, 1, 1, 1), width=8)
-        params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
-        assert params['params']['stem_conv']['kernel'].shape == (7, 7, 3, 8)
