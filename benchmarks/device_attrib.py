@@ -86,6 +86,11 @@ def main():
                         help='square input frame size (ROI bbox side)')
     parser.add_argument('--dets', type=int, default=1)
     parser.add_argument('--reps', type=int, default=10)
+    parser.add_argument('--topk', type=int, default=128,
+                        help='rpn_post_nms_topk_test (deployed bench-model '
+                             'setting; benchmarks/PROPOSAL_AB.md)')
+    parser.add_argument('--cap', type=int, default=512,
+                        help='rpn_nms_global_cap (deployed bench-model setting)')
     args = parser.parse_args()
 
     from moseq2_detectron_extract_tpu.utils.compile_cache import \
@@ -98,7 +103,9 @@ def main():
     from moseq2_detectron_extract_tpu.models.predictor import Predictor
     from moseq2_detectron_extract_tpu.models.rcnn import MaskKeypointRCNN
 
-    cfg = ModelConfig(test_detections_per_image=args.dets)
+    cfg = ModelConfig(test_detections_per_image=args.dets,
+                      rpn_post_nms_topk_test=args.topk,
+                      rpn_nms_global_cap=args.cap)
     model = MaskKeypointRCNN(cfg)
     b = args.batch
     canvas = cfg.image_size
