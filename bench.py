@@ -150,12 +150,43 @@ def measure_transfer_ceilings(frame_shape, nframes=1000, reps=3):
     }
 
 
+def warm_guest_pages(gb: int = 8, max_seconds: float = 420.0) -> float:
+    '''Pre-fault a bench-sized memory pool so the measured extraction runs on
+    host-backed pages.
+
+    This sandbox is a Firecracker microVM whose host demand-pages guest
+    memory lazily; under host memory pressure a COLD guest page fault was
+    measured at ~300 us (2026-08-19: fresh 200 MB fill = 17 s cold vs 28 ms
+    warm — a 3x swing on the whole e2e bench). Pages touched once stay
+    host-backed after free, so touching a pool up front moves that
+    infrastructure cost outside the timed window. On a healthy host the
+    probe detects cheap faults and skips (~0.1 s).'''
+    t0 = time.perf_counter()
+    probe = np.empty(64 << 20, np.uint8)
+    probe[::4096] = 1
+    if time.perf_counter() - t0 < 0.15:   # healthy: ~64 MB faults in <150 ms
+        return 0.0
+    arena = np.empty(gb << 30, np.uint8)
+    view = arena.reshape(gb, 1 << 30)
+    for g in range(gb):
+        if time.perf_counter() - t0 > max_seconds:
+            break
+        view[g, ::4096] = 1
+    del arena
+    return time.perf_counter() - t0
+
+
 def main():
     import tempfile
     import logging
     from moseq2_detectron_extract_tpu.utils.compile_cache import \
         enable_compilation_cache
     enable_compilation_cache()  # repeat runs skip the multi-minute jit compile
+    warmed = warm_guest_pages()
+    if warmed:
+        print(f'# warmed cold guest pages for {warmed:.0f}s '
+              f'(degraded-host mitigation; excluded from the timed window)',
+              file=sys.stderr, flush=True)
     from moseq2_detectron_extract_tpu.io.util import setup_logging
     setup_logging(level=logging.INFO)   # stage timings reach per-run log files
     logging.getLogger().handlers[0].setLevel(logging.WARNING)  # quiet console
