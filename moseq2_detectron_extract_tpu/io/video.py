@@ -293,23 +293,27 @@ _JET_LUT = _jet_lut()
 
 
 def apply_colormap_jet(frames: np.ndarray, vmin: float = 0, vmax: float = 100,
-                       out: Optional[np.ndarray] = None) -> np.ndarray:
-    '''False-color single channel frames with a jet-like colormap -> uint8 RGB.
+                       out: Optional[np.ndarray] = None,
+                       order: str = 'rgb') -> np.ndarray:
+    '''False-color single channel frames with a jet-like colormap -> uint8
+    RGB (or BGR with ``order='bgr'`` — lets the cv2 encoder path skip a
+    block-wide cvtColor).
 
     Implemented as a 256-entry LUT gather: one integer pass over the frames
     instead of ~10 float passes (matters on weak host cores). ``out`` reuses
     a persistent ``frames.shape + (3,)`` uint8 buffer.
     '''
     frames = np.asarray(frames)
+    base_lut = _JET_LUT if order == 'rgb' else np.ascontiguousarray(_JET_LUT[:, ::-1])
     scale = 255.0 / max(vmax - vmin, 1e-6)
     if frames.dtype == np.uint8:
         # fold the intensity rescale into the LUT: zero arithmetic per pixel
         vals = np.clip((np.arange(256) - vmin) * scale, 0, 255).astype('uint8')
-        lut = _JET_LUT[vals]
+        lut = base_lut[vals]
     else:
         frames = np.clip((frames.astype('float32') - vmin) * scale,
                          0, 255).astype('uint8')
-        lut = _JET_LUT
+        lut = base_lut
     if out is not None and out.shape == frames.shape + (3,):
         np.take(lut, frames, axis=0, out=out)
         return out
@@ -325,11 +329,15 @@ class PreviewVideoWriter:
     '''
 
     def __init__(self, filename: str, fps: int = 30, vmin: float = 0,
-                 vmax: float = 100) -> None:
+                 vmax: float = 100, channel_order: str = 'rgb') -> None:
         self.filename = filename
         self.fps = fps
         self.vmin = vmin
         self.vmax = vmax
+        # 'bgr' marks incoming uint8 color blocks as already BGR (the
+        # preview step renders BGR-native), so the cv2 encoder path skips
+        # its block-wide cvtColor and the ffmpeg path reads -pix_fmt bgr24
+        self.channel_order = channel_order
         self._pipe = None
         self._cvwriter = None
         self._bgr_buf: Optional[np.ndarray] = None
@@ -389,17 +397,23 @@ class PreviewVideoWriter:
                 self._cvwriter.write(cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
 
     def _write_block_cv2(self, cv2, frame_idxs, frames) -> None:
-        '''Batched uint8-RGB block write through the cv2 encoder: one
-        block-wide cvtColor into a persistent BGR buffer (cvtColor, not
-        frames[..., ::-1] — cv2 copies non-contiguous input through a slow
-        path, 2x the whole encode measured; per-frame conversion paid a
-        fresh-page allocation per frame).'''
-        bgr = self._bgr_buf
-        if bgr is None or bgr.shape != frames.shape:
-            bgr = self._bgr_buf = np.empty(frames.shape, np.uint8)
+        '''Batched uint8 color block write through the cv2 encoder.
+
+        RGB blocks take one block-wide cvtColor into a persistent BGR buffer
+        (cvtColor, not frames[..., ::-1] — cv2 copies non-contiguous input
+        through a slow path, 2x the whole encode measured; per-frame
+        conversion paid a fresh-page allocation per frame). BGR-native
+        blocks (channel_order='bgr') skip the conversion entirely and are
+        stamped/encoded in place.'''
         n, h, w, _ = frames.shape
-        cv2.cvtColor(np.ascontiguousarray(frames).reshape(n * h, w, 3),
-                     cv2.COLOR_RGB2BGR, dst=bgr.reshape(n * h, w, 3))
+        if self.channel_order == 'bgr':
+            bgr = np.ascontiguousarray(frames)
+        else:
+            bgr = self._bgr_buf
+            if bgr is None or bgr.shape != frames.shape:
+                bgr = self._bgr_buf = np.empty(frames.shape, np.uint8)
+            cv2.cvtColor(np.ascontiguousarray(frames).reshape(n * h, w, 3),
+                         cv2.COLOR_RGB2BGR, dst=bgr.reshape(n * h, w, 3))
         if self._cvwriter is None:
             fourcc = cv2.VideoWriter_fourcc(*'mp4v')
             self._cvwriter = cv2.VideoWriter(self.filename, fourcc,
@@ -417,7 +431,9 @@ class PreviewVideoWriter:
             command = [FFMPEG, '-y', '-loglevel', 'fatal', '-threads', '2',
                        '-framerate', str(self.fps), '-f', 'rawvideo',
                        '-s', f'{w:d}x{h:d}',
-                       '-pix_fmt', 'rgb24', '-i', '-', '-an', '-vcodec', 'h264',
+                       '-pix_fmt',
+                       'bgr24' if self.channel_order == 'bgr' else 'rgb24',
+                       '-i', '-', '-an', '-vcodec', 'h264',
                        '-r', str(self.fps), '-pix_fmt', 'yuv420p',
                        '-tune', 'zerolatency', '-preset', 'ultrafast', self.filename]
             self._pipe = subprocess.Popen(command, stdin=subprocess.PIPE,
