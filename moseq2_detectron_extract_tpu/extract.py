@@ -13,11 +13,14 @@ from datetime import timedelta
 from moseq2_detectron_extract_tpu.io.session import Session, Stream
 from moseq2_detectron_extract_tpu.io.util import (attach_file_logger, ensure_dir,
                                                   write_yaml)
-from moseq2_detectron_extract_tpu.pipeline import (InferenceStep, Pipeline,
+from moseq2_detectron_extract_tpu.pipeline import (FetchResultsStep,
+                                                   InferenceStep, Pipeline,
                                                    PreviewVideoWriterStep,
                                                    ProcessFeaturesStep,
                                                    ProduceFramesStep,
-                                                   ResultWriterStep, WorkerError)
+                                                   ResultWriterStep,
+                                                   SelectInstancesStep,
+                                                   WorkerError)
 from moseq2_detectron_extract_tpu.proc.util import check_completion_status
 
 
@@ -78,15 +81,25 @@ def extract_session(session: Session, config: dict) -> str:
         step0 = pipeline.add_step(' Read Depth Data', ProduceFramesStep,
                                   session=session, config=config)
         step1 = pipeline.add_step(' Model Inference', InferenceStep, config=config)
-        step2 = pipeline.add_step('Process Features', ProcessFeaturesStep,
-                                  show_progress=True, config=config)
+        # the feature stage is three queue-linked steps so chunk N's device
+        # waits (inference pull / moments pull / result pulls) overlap chunk
+        # N±1's host work — the reference's single synchronous
+        # ProcessFeaturesStep serializes all of it
+        step2a = pipeline.add_step(' Instance Select', SelectInstancesStep,
+                                   config=config)
+        step2b = pipeline.add_step('Process Features', ProcessFeaturesStep,
+                                   show_progress=True, config=config)
+        step2c = pipeline.add_step('   Fetch Results', FetchResultsStep,
+                                   config=config)
         step3a = pipeline.add_step('   Preview Video', PreviewVideoWriterStep,
                                    config=config)
         step3b = pipeline.add_step('    Write Reults', ResultWriterStep,
                                    show_progress=True, config=config)
         pipeline.link(step0, step1)
-        pipeline.link(step1, step2)
-        pipeline.link(step2, step3a, step3b)
+        pipeline.link(step1, step2a)
+        pipeline.link(step2a, step2b)
+        pipeline.link(step2b, step2c)
+        pipeline.link(step2c, step3a, step3b)
         pipeline.add_timed_callback(30.0, log_processing_status)
 
         pipeline.start()

@@ -8,12 +8,15 @@ stage overlap comes free without pickling frames across process boundaries.
 from moseq2_detectron_extract_tpu.pipeline.pipeline import (Pipeline, WorkerError,
                                                             WorkerErrorInfo)
 from moseq2_detectron_extract_tpu.pipeline.pipeline_step import PipelineStep
-from moseq2_detectron_extract_tpu.pipeline.steps import (InferenceStep,
+from moseq2_detectron_extract_tpu.pipeline.steps import (FetchResultsStep,
+                                                         InferenceStep,
                                                          PreviewVideoWriterStep,
                                                          ProcessFeaturesStep,
                                                          ProduceFramesStep,
-                                                         ResultWriterStep)
+                                                         ResultWriterStep,
+                                                         SelectInstancesStep)
 
 __all__ = ['Pipeline', 'WorkerError', 'WorkerErrorInfo', 'PipelineStep',
-           'ProduceFramesStep', 'InferenceStep', 'ProcessFeaturesStep',
+           'ProduceFramesStep', 'InferenceStep', 'SelectInstancesStep',
+           'ProcessFeaturesStep', 'FetchResultsStep',
            'PreviewVideoWriterStep', 'ResultWriterStep']

@@ -24,8 +24,10 @@ from moseq2_detectron_extract_tpu.ops.preprocess import (decode_prepped_frames,
                                                          scale_raw_frames)
 from moseq2_detectron_extract_tpu.ops.warp import crop_and_rotate_frames
 from moseq2_detectron_extract_tpu.pipeline.pipeline_step import PipelineStep
-from moseq2_detectron_extract_tpu.proc.features import instances_to_features
-from moseq2_detectron_extract_tpu.proc.keypoints import keypoints_to_dict
+from moseq2_detectron_extract_tpu.proc.features import (
+    dispatch_instance_features, finish_instance_features)
+from moseq2_detectron_extract_tpu.proc.keypoints import (dispatch_z_lookup,
+                                                         keypoints_to_dict)
 from moseq2_detectron_extract_tpu.proc.kalman import (KalmanTracker, KalmanTrackerAngle,
                                                       KalmanTrackerNPoints2D,
                                                       KalmanTrackerPoint2D)
@@ -146,60 +148,46 @@ class InferenceStep(PipelineStep):
         return data
 
 
-class ProcessFeaturesStep(PipelineStep):
-    '''Instance selection + feature extraction + crop/rotate
-    (m2de/pipeline/process_features_step.py).'''
+class SelectInstancesStep(PipelineStep):
+    '''Instance selection: pull the fused NMS outputs, run the sequential
+    SORT-style tracker on host, dispatch the per-detection window gathers
+    plus the clean/moments/height-stat device programs
+    (m2de/pipeline/process_features_step.py:63-160; split out of the feature
+    step so its device waits overlap the neighbors' work).'''
 
     def initialize(self):
         config = self.config
-        self.crop = tuple(config['crop_size'])
         # feature-stage window around each detection (clean/moments/scalars
         # run at this size instead of full frames); must comfortably exceed
         # the animal + tail so every mask pixel lands inside
         self.feature_window = int(config.get('feature_window', 160))
-        true_depth = config['true_depth']
-        self.compute_keypoints = partial(keypoints_to_dict, true_depth=true_depth)
-        self.scalars_fn = partial(compute_scalars,
-                                  min_height=config['min_height'],
-                                  max_height=config['max_height'],
-                                  true_depth=true_depth)
         self.instance_tracker = CentroidTracker(distance_threshold=50,
                                                 hit_counter_max=3)
-        if config.get('use_tracking', True):
-            self.point_tracker = KalmanTracker([
-                KalmanTrackerPoint2D(order=3, delta_t=1.0),
-                KalmanTrackerNPoints2D(config.get('num_keypoints', 8), order=3,
-                                       delta_t=1.0),
-            ])
-            self.angle_tracker = KalmanTracker([
-                KalmanTrackerAngle(order=3, delta_t=1.0, degrees=True),
-            ])
-        else:
-            self.point_tracker = None
-            self.angle_tracker = None
         from moseq2_detectron_extract_tpu.models.instance_logger import InstanceLogger
         self.instance_log = InstanceLogger(
             os.path.join(config['output_dir'], 'instance_log.tsv'))
-        self.sub_times = {'select': 0.0, 'features': 0.0, 'crop': 0.0}
+        self.sub_times = {'sel_nms': 0.0, 'sel_loop': 0.0}
 
     def process(self, data):
-        import time as _time
-        t0 = _time.perf_counter()
         data = self._select_instances(data)
-        t1 = _time.perf_counter()
-        data = self._compute_features(data)
-        t2 = _time.perf_counter()
-        data = self._crop_and_rotate(data)
-        t3 = _time.perf_counter()
-        self.sub_times['select'] += t1 - t0
-        self.sub_times['features'] += t2 - t1
-        self.sub_times['crop'] += t3 - t2
+        # dispatch the whole clean/moments stage + the scalar height
+        # reductions now: they depend only on device data, and the feature
+        # (brain) step pulls their outputs one chunk later
+        data['feat_dispatch'] = dispatch_instance_features(
+            data['sel_masks'], data['raw_windows'],
+            window_origins=data['win_origins'])
+        masked = data['raw_windows'] * \
+            jnp.asarray(data['feat_dispatch']['feat_masks'])
+        from moseq2_detectron_extract_tpu.proc.scalars import \
+            dispatch_scalar_stats
+        data['height_stats'] = dispatch_scalar_stats(
+            masked, self.config['min_height'], self.config['max_height'])
         self.update_progress(len(data['frame_idxs']))
         return data
 
     def finalize(self):
         self.instance_log.close()
-        logging.info('[Process Features] sub-stage busy: %s',
+        logging.info('[Instance Select] sub-stage busy: %s',
                      {k: round(v, 2) for k, v in self.sub_times.items()},
                      extra={'nostream': True})
 
@@ -314,34 +302,57 @@ class ProcessFeaturesStep(PipelineStep):
         data['num_instances'] = num_instances
         return data
 
-    def _compute_features(self, data):
-        import time as _time
-        features = instances_to_features(
-            data['sel_masks'], data['sel_keypoints'], data['num_instances'],
-            data['raw_windows'], self.point_tracker, self.angle_tracker,
+class ProcessFeaturesStep(PipelineStep):
+    '''Feature brain: pull the pre-dispatched moments, run the sequential
+    host logic (Kalman smoothing, flip votes, angle interventions), then
+    dispatch the crop/rotate + z-lookup + bit-pack device programs
+    (m2de/pipeline/process_features_step.py:163-199). All large pulls happen
+    one step downstream (FetchResultsStep), so this step's wait is only the
+    tiny (N, ~5) moment vectors.'''
+
+    def initialize(self):
+        config = self.config
+        self.crop = tuple(config['crop_size'])
+        if config.get('use_tracking', True):
+            self.point_tracker = KalmanTracker([
+                KalmanTrackerPoint2D(order=3, delta_t=1.0),
+                KalmanTrackerNPoints2D(config.get('num_keypoints', 8), order=3,
+                                       delta_t=1.0),
+            ])
+            self.angle_tracker = KalmanTracker([
+                KalmanTrackerAngle(order=3, delta_t=1.0, degrees=True),
+            ])
+        else:
+            self.point_tracker = None
+            self.angle_tracker = None
+        self.sub_times: Dict[str, float] = {}
+
+    def process(self, data):
+        features = finish_instance_features(
+            data.pop('feat_dispatch'), data['sel_keypoints'],
+            data['num_instances'], self.point_tracker, self.angle_tracker,
             debug=self.config.get('debug_feature_processing', False),
-            debug_dir=self.config['output_dir'], timers=self.sub_times,
-            window_origins=data['win_origins'])
-        # masked depth for the scalar reductions, computed on device; the
-        # mask is zero outside its window, so window reductions are exact
-        _t = _time.perf_counter()
-        masked_frames = data['raw_windows'] * jnp.asarray(features['masks'])
-        scalars = self.scalars_fn(masked_frames, features['features'])
-        _t1 = _time.perf_counter()
-        data['keypoints'] = self.compute_keypoints(
-            features['keypoints'], features['cleaned_frames'],
-            features['features']['centroid'], features['features']['orientation'],
-            frame_origins=features['mask_origins'])
-        _t2 = _time.perf_counter()
-        self.sub_times['feat_scalars'] = \
-            self.sub_times.get('feat_scalars', 0.0) + (_t1 - _t)
-        self.sub_times['feat_kpdict'] = \
-            self.sub_times.get('feat_kpdict', 0.0) + (_t2 - _t1)
+            debug_dir=self.config['output_dir'], timers=self.sub_times)
         data['features'] = features
-        data['scalars'] = scalars
+        for i, count in enumerate(data['num_instances'][:len(data['frame_idxs'])]):
+            if count <= 0:
+                self.write_message(
+                    f"WARN: No instances found for frame {data['frame_idxs'][i]}",
+                    logging.WARNING)
+        # z heights come from the cleaned windows at the smoothed keypoints
+        data['z_dev'] = dispatch_z_lookup(features['keypoints'],
+                                          features['cleaned_frames'],
+                                          frame_origins=features['mask_origins'])
+        self._dispatch_crop_and_rotate(data)
+        self.update_progress(len(data['frame_idxs']))
         return data
 
-    def _crop_and_rotate(self, data):
+    def finalize(self):
+        logging.info('[Process Features] sub-stage busy: %s',
+                     {k: round(v, 2) for k, v in self.sub_times.items()},
+                     extra={'nostream': True})
+
+    def _dispatch_crop_and_rotate(self, data):
         centroids = data['features']['features']['centroid']
         angles = data['features']['features']['orientation']
         # feature masks are windows around each detection; crop them with
@@ -350,11 +361,6 @@ class ProcessFeaturesStep(PipelineStep):
         mask_wins = jnp.asarray(data['features']['masks']).astype(jnp.uint8)
         origins = np.asarray(data['win_origins'])
         local_centroids = np.asarray(centroids, dtype='float64') - origins[:, ::-1]
-        for i, count in enumerate(data['num_instances'][:len(data['frame_idxs'])]):
-            if count <= 0:
-                self.write_message(
-                    f"WARN: No instances found for frame {data['frame_idxs'][i]}",
-                    logging.WARNING)
 
         raw_frames = data.get('chunk_dev')
         if raw_frames is not None:
@@ -371,19 +377,61 @@ class ProcessFeaturesStep(PipelineStep):
             self.crop)
         # the 80x80 crops are the only large device->host transfer per chunk;
         # masks travel bit-packed (8x smaller)
-        data['depth_frames'] = np.asarray(
-            jnp.clip(jnp.round(cropped), 0, 255).astype(
-                jnp.dtype(self.config['frame_dtype'])))
-        packed = packbits_device(cropped_masks > 0.5)
-        data['mask_frames'] = unpackbits_host(packed, self.crop[1]).astype('uint8')
+        data['dev_cropped'] = jnp.clip(jnp.round(cropped), 0, 255).astype(
+            jnp.dtype(self.config['frame_dtype']))
+        data['dev_packed_masks'] = packbits_device(cropped_masks > 0.5)
         if self.config.get('preview_arena_masks', True):
             # the feature-mask windows double as the preview's arena overlay:
             # bit-packed windows travel (~3 KB/frame vs ~22 KB for the whole
             # packed plane) and paste back to full res on host
+            data['dev_arena_packed'] = packbits_device(mask_wins > 0)
+        # large device inputs are no longer needed downstream; dropping the
+        # references here lets XLA reuse the HBM while the next chunk runs
+        for key in ('chunk_dev', 'sel_masks', 'raw_windows', 'inference'):
+            data.pop(key, None)
+        data['features'].pop('cleaned_frames', None)
+        data['features'].pop('masks', None)
+        return data
+
+
+class FetchResultsStep(PipelineStep):
+    '''Pull every device result for a chunk to host (crops, bit-packed
+    masks, scalar reductions, z heights) and assemble the writer-facing
+    scalar/keypoint dicts. Isolated in its own step so the D2H waits for
+    chunk N overlap the brain work of chunk N+1 and the writes of chunk
+    N-1.'''
+
+    def initialize(self):
+        config = self.config
+        self.crop = tuple(config['crop_size'])
+        true_depth = config['true_depth']
+        self.compute_keypoints = partial(keypoints_to_dict, true_depth=true_depth)
+        self.scalars_fn = partial(compute_scalars,
+                                  min_height=config['min_height'],
+                                  max_height=config['max_height'],
+                                  true_depth=true_depth)
+
+    def process(self, data):
+        features = data['features']
+        data['scalars'] = self.scalars_fn(
+            None, features['features'], height_stats=data.pop('height_stats'))
+        data['keypoints'] = self.compute_keypoints(
+            features['keypoints'], None,
+            features['features']['centroid'],
+            features['features']['orientation'],
+            frame_origins=features['mask_origins'],
+            z_data=data.pop('z_dev'))
+        data['depth_frames'] = np.asarray(data.pop('dev_cropped'))
+        data['mask_frames'] = unpackbits_host(
+            data.pop('dev_packed_masks'), self.crop[1]).astype('uint8')
+        arena_packed = data.pop('dev_arena_packed', None)
+        if arena_packed is not None:
             h, w = data['chunk'].shape[1], data['chunk'].shape[2]
-            arena_packed = packbits_device(mask_wins > 0)
+            origins = np.asarray(data['win_origins'])
+            crop = int(arena_packed.shape[1])
             data['arena_masks'] = unpack_masks_cropped(
-                arena_packed, origins, (h, w), crop=int(mask_wins.shape[-1]))
+                arena_packed, origins, (h, w), crop=crop)
+        self.update_progress(len(data['frame_idxs']))
         return data
 
 
@@ -451,16 +499,22 @@ class PreviewVideoWriterStep(PipelineStep):
         config = self.config
         out_path = os.path.join(config['output_dir'],
                                 f"results_{config['bg_roi_index']:02d}.mp4")
+        # render BGR-native: the cv2 encoder wants BGR, so composing in its
+        # order skips a block-wide cvtColor pass per 128-frame block
+        order = 'bgr'
         self.writer = PreviewVideoWriter(out_path, fps=config.get('fps', 30),
                                          vmin=config['min_height'],
-                                         vmax=config['max_height'])
+                                         vmax=config['max_height'],
+                                         channel_order=order)
         vmin, vmax = config['min_height'], config['max_height']
         self.arena_view = ArenaView(config.get('roi'), vmin=vmin, vmax=vmax,
-                                    scale=config.get('preview_arena_scale', 1.0))
+                                    scale=config.get('preview_arena_scale', 1.0),
+                                    order=order)
         self.rot_kpt_view = RotatedKeypointsView(
-            scale=config.get('preview_crop_scale', 1.5))
+            scale=config.get('preview_crop_scale', 1.5), order=order)
         self.clean_view = CleanedFramesView(
-            vmin=vmin, vmax=vmax, scale=config.get('preview_crop_scale', 1.5))
+            vmin=vmin, vmax=vmax, scale=config.get('preview_crop_scale', 1.5),
+            order=order)
         self.stack_videos = stack_videos
         from moseq2_detectron_extract_tpu.proc.keypoints import \
             default_keypoint_names
@@ -547,7 +601,9 @@ class PreviewVideoWriterStep(PipelineStep):
                 out=self._buf('comp', (m, max(left.shape[1], arena.shape[1]),
                                        left.shape[2] + arena.shape[2], 3)))
             tr = _time.perf_counter()
-            self.writer.write_frames(frame_idxs[s:e], composite)
+            # composite is this step's own reused block buffer -> in-place
+            # frame-number stamping is safe and skips a block copy
+            self.writer.write_frames(frame_idxs[s:e], composite, writable=True)
             te = _time.perf_counter()
             self.sub_times['render'] += tr - tb
             self.sub_times['encode'] += te - tr

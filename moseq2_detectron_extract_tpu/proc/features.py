@@ -221,31 +221,51 @@ def estimate_keypoint_rotation(keypoints: np.ndarray) -> np.ndarray:
     return np.median(angles, axis=1)
 
 
-def instances_to_features(masks: np.ndarray, keypoints: np.ndarray,
-                          num_instances: np.ndarray, raw_frames: np.ndarray,
-                          point_tracker: Optional[KalmanTracker],
-                          angle_tracker: Optional[KalmanTracker],
-                          debug: bool = False, debug_dir: str = '.',
-                          timers: Optional[Dict[str, float]] = None,
-                          window_origins=None) -> Dict:
-    '''Feature post-processing brain (m2de/proc/proc.py:700-848).
+def dispatch_instance_features(masks, raw_frames, window_origins=None) -> Dict:
+    '''Dispatch the feature stage's device programs (clean + moments) WITHOUT
+    any host synchronization; returns device handles for
+    ``finish_instance_features``.
 
-    masks: (N, H, W) model mask of the selected instance (uint8/bool);
-    keypoints: (N, K, 3 [x, y, score]); num_instances: (N,);
-    raw_frames: (N, H, W) prepped depth frames.
-    With trackers: Kalman smoothing + keypoint flip votes + per-frame angle
-    heuristic. Without: flip votes + iterative 180-degree angle filtering.
-
-    Windowed mode (the extraction pipeline): when ``window_origins``
-    (N, 2 [y0, x0]) is given, ``masks`` and ``raw_frames`` are (N, c, c)
-    windows around each detection (ops/instances.py:gather_selected_windows)
-    and the whole clean/moments stage runs at window size — ~8x less device
-    work than full frames. Centroids are reported in full-frame coords.
-    Equivalent to the full-frame program whenever the blob fits the window
-    (guaranteed by the detection for any mouse smaller than the window).
-    The returned ``masks``/``cleaned_frames`` are windows; consumers get the
-    origins back as ``mask_origins``.
+    Splitting dispatch from the host brain lets the pipeline overlap chunk
+    N's device execution with chunk N-1's host Kalman work and chunk N+1's
+    selection (the reference's process-stage boundary at
+    m2de/pipeline/process_features_step.py:163 is synchronous; here only the
+    data dependency is).
     '''
+    cleaned_frames = clean_frames(raw_frames, iters_tail=3)  # device array
+    if window_origins is not None:
+        feats_dev, feat_masks = _frame_features_nocc(
+            cleaned_frames, jnp.asarray(masks), 3.0)
+        origins = jnp.asarray(window_origins)
+        offset = origins[:, ::-1].astype(feats_dev['centroid'].dtype)  # x, y
+        feats_dev = dict(feats_dev)
+        feats_dev['centroid'] = feats_dev['centroid'] + offset
+    else:
+        # production call shape (uint8 cleaned, mask_threshold < 0): the CC
+        # term is statically all-true — see get_frame_features
+        if masks is None or (isinstance(masks, np.ndarray) and masks.size == 0):
+            model_masks = jnp.ones(cleaned_frames.shape, jnp.uint8)
+        else:
+            model_masks = jnp.asarray(masks).astype(jnp.uint8)
+        feats_dev, feat_masks = _frame_features_nocc(
+            cleaned_frames, model_masks, 3.0)
+    return {
+        'cleaned_frames': cleaned_frames,
+        'feat_masks': feat_masks,
+        'feats_dev': feats_dev,
+        'window_origins': window_origins,
+    }
+
+
+def finish_instance_features(dispatched: Dict, keypoints: np.ndarray,
+                             num_instances: np.ndarray,
+                             point_tracker: Optional[KalmanTracker],
+                             angle_tracker: Optional[KalmanTracker],
+                             debug: bool = False, debug_dir: str = '.',
+                             timers: Optional[Dict[str, float]] = None) -> Dict:
+    '''Pull the dispatched moments and run the sequential host brain
+    (Kalman smoothing, flip votes, angle interventions). Returns the same
+    dict as ``instances_to_features``.'''
     import time as _time
 
     def _mark(name, t_prev):
@@ -256,22 +276,15 @@ def instances_to_features(masks: np.ndarray, keypoints: np.ndarray,
 
     _t = _time.perf_counter()
     keypoints = np.array(np.asarray(keypoints), dtype=float)
-
-    cleaned_frames = clean_frames(raw_frames, iters_tail=3)  # device array
-    if window_origins is not None:
-        feats_dev, feat_masks = _frame_features_nocc(
-            cleaned_frames, jnp.asarray(masks), 3.0)
-        origins = jnp.asarray(window_origins)
-        offset = origins[:, ::-1].astype(feats_dev['centroid'].dtype)  # x, y
-        features = {
-            'centroid': np.asarray(feats_dev['centroid'] + offset, dtype=float),
-            'orientation': np.asarray(feats_dev['orientation'], dtype=float),
-            'axis_length': np.asarray(feats_dev['axis_length'], dtype=float),
-        }
-    else:
-        features, feat_masks = get_frame_features(cleaned_frames, mask=masks,
-                                                  use_cc=True,
-                                                  frame_threshold=3)
+    cleaned_frames = dispatched['cleaned_frames']
+    feat_masks = dispatched['feat_masks']
+    feats_dev = dispatched['feats_dev']
+    window_origins = dispatched['window_origins']
+    features = {
+        'centroid': np.asarray(feats_dev['centroid'], dtype=float),
+        'orientation': np.asarray(feats_dev['orientation'], dtype=float),
+        'axis_length': np.asarray(feats_dev['axis_length'], dtype=float),
+    }
     _t = _mark('itf_moments', _t)
 
     with np.errstate(invalid='ignore'):
@@ -388,6 +401,43 @@ def instances_to_features(masks: np.ndarray, keypoints: np.ndarray,
         'keypoints': keypoints,
         'num_instances': np.asarray(num_instances),
     }
+
+
+def instances_to_features(masks: np.ndarray, keypoints: np.ndarray,
+                          num_instances: np.ndarray, raw_frames: np.ndarray,
+                          point_tracker: Optional[KalmanTracker],
+                          angle_tracker: Optional[KalmanTracker],
+                          debug: bool = False, debug_dir: str = '.',
+                          timers: Optional[Dict[str, float]] = None,
+                          window_origins=None) -> Dict:
+    '''Feature post-processing brain (m2de/proc/proc.py:700-848).
+
+    masks: (N, H, W) model mask of the selected instance (uint8/bool);
+    keypoints: (N, K, 3 [x, y, score]); num_instances: (N,);
+    raw_frames: (N, H, W) prepped depth frames.
+    With trackers: Kalman smoothing + keypoint flip votes + per-frame angle
+    heuristic. Without: flip votes + iterative 180-degree angle filtering.
+
+    Windowed mode (the extraction pipeline): when ``window_origins``
+    (N, 2 [y0, x0]) is given, ``masks`` and ``raw_frames`` are (N, c, c)
+    windows around each detection (ops/instances.py:gather_selected_windows)
+    and the whole clean/moments stage runs at window size — ~8x less device
+    work than full frames. Centroids are reported in full-frame coords.
+    Equivalent to the full-frame program whenever the blob fits the window
+    (guaranteed by the detection for any mouse smaller than the window).
+    The returned ``masks``/``cleaned_frames`` are windows; consumers get the
+    origins back as ``mask_origins``.
+
+    This is the synchronous convenience wrapper over
+    ``dispatch_instance_features`` + ``finish_instance_features`` (the
+    extraction pipeline calls those directly so device execution overlaps
+    host work across chunks).
+    '''
+    dispatched = dispatch_instance_features(masks, raw_frames,
+                                            window_origins=window_origins)
+    return finish_instance_features(dispatched, keypoints, num_instances,
+                                    point_tracker, angle_tracker, debug=debug,
+                                    debug_dir=debug_dir, timers=timers)
 
 
 def _dump_debug_rows(rows, path):

@@ -100,24 +100,12 @@ def keypoint_attributes(keypoint_names: Optional[List[str]] = None) -> Dict[str,
     return attributes
 
 
-def keypoints_to_dict(keypoints: np.ndarray, frames: np.ndarray, centers: np.ndarray,
-                      angles: np.ndarray, true_depth: float = 673.1,
-                      keypoint_names: Optional[List[str]] = None,
-                      frame_origins=None) -> Dict[str, np.ndarray]:
-    '''Keypoints in 4 coordinate systems + z heights (m2de/proc/keypoints.py:93-165).
-
-    keypoints: (N, K, 3 [x, y, s]); frames: (N, H, W) depth used for z lookup;
-    centers: (N, 2); angles: (N,) degrees. When ``frame_origins``
-    (N, 2 [y0, x0]) is given, ``frames`` are per-detection windows and the z
-    lookup shifts into window-local coords (clamping to the window edge
-    instead of the frame edge — keypoints live on the animal, inside it).
-    '''
-    if keypoint_names is None:
-        keypoint_names = default_keypoint_names
-
+def dispatch_z_lookup(keypoints: np.ndarray, frames, frame_origins=None):
+    '''Dispatch the per-keypoint z-height gather on device and return the
+    un-synchronized (N, K) handle (pass to ``keypoints_to_dict`` as
+    ``z_data``). ``frames`` may be a host or device array.'''
     keypoints = np.asarray(keypoints, dtype=float)
-    nframes, nkp = keypoints.shape[0], keypoints.shape[1]
-
+    nframes = keypoints.shape[0]
     with np.errstate(invalid='ignore'):
         kp_x = np.nan_to_num(keypoints[:, :, 0])
         kp_y = np.nan_to_num(keypoints[:, :, 1])
@@ -127,11 +115,37 @@ def keypoints_to_dict(keypoints: np.ndarray, frames: np.ndarray, centers: np.nda
             kp_y = kp_y - origins[:, 0:1]
         x_idx = np.clip(np.floor(kp_x).astype(int), 0, frames.shape[2] - 1)
         y_idx = np.clip(np.floor(kp_y).astype(int), 0, frames.shape[1] - 1)
-        # one fancy-index gather: runs on device when frames live there, and
-        # only the (N, K) z values cross to the host
-        z_data = np.asarray(frames[np.arange(nframes)[:, None], y_idx, x_idx],
-                            dtype=float)
+    # one fancy-index gather: runs on device when frames live there, and
+    # only the (N, K) z values cross to the host
+    return frames[np.arange(nframes)[:, None], y_idx, x_idx]
 
+
+def keypoints_to_dict(keypoints: np.ndarray, frames: np.ndarray, centers: np.ndarray,
+                      angles: np.ndarray, true_depth: float = 673.1,
+                      keypoint_names: Optional[List[str]] = None,
+                      frame_origins=None,
+                      z_data=None) -> Dict[str, np.ndarray]:
+    '''Keypoints in 4 coordinate systems + z heights (m2de/proc/keypoints.py:93-165).
+
+    keypoints: (N, K, 3 [x, y, s]); frames: (N, H, W) depth used for z lookup;
+    centers: (N, 2); angles: (N,) degrees. When ``frame_origins``
+    (N, 2 [y0, x0]) is given, ``frames`` are per-detection windows and the z
+    lookup shifts into window-local coords (clamping to the window edge
+    instead of the frame edge — keypoints live on the animal, inside it).
+    ``z_data`` accepts a pre-dispatched ``dispatch_z_lookup`` handle
+    (``frames`` may then be None).
+    '''
+    if keypoint_names is None:
+        keypoint_names = default_keypoint_names
+
+    keypoints = np.asarray(keypoints, dtype=float)
+    nframes, nkp = keypoints.shape[0], keypoints.shape[1]
+
+    if z_data is None:
+        z_data = dispatch_z_lookup(keypoints, frames, frame_origins)
+    z_data = np.asarray(z_data, dtype=float)
+
+    with np.errstate(invalid='ignore'):
         ref_kpts_px = keypoints.copy()
         ref_kpts_mm = np.zeros_like(keypoints)
         ref_kpts_mm[:, :, 2] = keypoints[:, :, 2]

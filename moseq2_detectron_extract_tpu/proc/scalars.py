@@ -44,14 +44,25 @@ def _frame_height_stats(frames, min_height, max_height):
     return nmask, height_ave
 
 
+def dispatch_scalar_stats(frames, min_height: float = 10,
+                          max_height: float = 100):
+    '''Dispatch the frame-dependent device reductions (area + average height)
+    without synchronizing; pass the returned handles to ``compute_scalars``
+    as ``height_stats`` so the pipeline overlaps the device wait.'''
+    return _frame_height_stats(jnp.asarray(frames), float(min_height),
+                               float(max_height))
+
+
 def compute_scalars(frames: np.ndarray, track_features: dict, min_height: float = 10,
-                    max_height: float = 100, true_depth: float = 673.1) -> Dict[str, np.ndarray]:
+                    max_height: float = 100, true_depth: float = 673.1,
+                    height_stats=None) -> Dict[str, np.ndarray]:
     '''Compute the 17 per-frame scalars (m2de/proc/scalars.py:36-120).
 
     frames: (N, H, W) uncropped (ROI-frame) depth in mm; track_features must
     hold 'centroid' (N, 2), 'orientation' (N,), 'axis_length' (N, 2).
+    ``height_stats`` accepts pre-dispatched ``dispatch_scalar_stats`` handles
+    (``frames`` may then be None).
     '''
-    nframes = frames.shape[0]  # frames may be a device array; only reduced on device
     centroid = np.asarray(track_features['centroid'], dtype=float)
     axis_length = np.asarray(track_features['axis_length'], dtype=float)
     orientation = np.asarray(track_features['orientation'], dtype=float)
@@ -71,8 +82,9 @@ def compute_scalars(frames: np.ndarray, track_features: dict, min_height: float 
         features['width_px'] = np.min(axis_length, axis=1).astype('float32')
         features['length_px'] = np.max(axis_length, axis=1).astype('float32')
 
-    nmask, height_ave = _frame_height_stats(jnp.asarray(frames),
-                                            float(min_height), float(max_height))
+    if height_stats is None:
+        height_stats = dispatch_scalar_stats(frames, min_height, max_height)
+    nmask, height_ave = height_stats
     features['area_px'] = np.asarray(nmask, dtype='float64')
     features['height_ave_mm'] = np.asarray(height_ave, dtype='float32')
 
