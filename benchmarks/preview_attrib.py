@@ -51,10 +51,12 @@ def run(inp, out_path, block=128):
                                                   CleanedFramesView,
                                                   RotatedKeypointsView,
                                                   stack_videos)
-    writer = PreviewVideoWriter(out_path, fps=30, vmin=0, vmax=100)
-    arena_view = ArenaView(inp['roi'], vmin=0, vmax=100, scale=1.0)
-    rot_view = RotatedKeypointsView(scale=1.5)
-    clean_view = CleanedFramesView(vmin=0, vmax=100, scale=1.5)
+    order = 'bgr'  # production renders BGR-native (pipeline/steps.py)
+    writer = PreviewVideoWriter(out_path, fps=30, vmin=0, vmax=100,
+                                channel_order=order)
+    arena_view = ArenaView(inp['roi'], vmin=0, vmax=100, scale=1.0, order=order)
+    rot_view = RotatedKeypointsView(scale=1.5, order=order)
+    clean_view = CleanedFramesView(vmin=0, vmax=100, scale=1.5, order=order)
     n = len(inp['chunk'])
     t = {'arena': 0.0, 'clean': 0.0, 'rot': 0.0, 'stack': 0.0, 'encode': 0.0}
     frame_idxs = np.arange(n)
@@ -88,7 +90,7 @@ def run(inp, out_path, block=128):
         composite = stack_videos([left, arena], orientation='horizontal',
                                  out=buf('comp', (m, max(2 * ch, ah), ch + ah, 3)))
         t4 = time.perf_counter()
-        writer.write_frames(frame_idxs[s:e], composite)
+        writer.write_frames(frame_idxs[s:e], composite, writable=True)
         t5 = time.perf_counter()
         t['arena'] += t1 - t0
         t['clean'] += t2 - t1

@@ -290,6 +290,7 @@ def _jet_lut() -> np.ndarray:
 
 
 _JET_LUT = _jet_lut()
+_JET_LUT_BGR = np.ascontiguousarray(_JET_LUT[:, ::-1])
 
 
 def apply_colormap_jet(frames: np.ndarray, vmin: float = 0, vmax: float = 100,
@@ -303,8 +304,10 @@ def apply_colormap_jet(frames: np.ndarray, vmin: float = 0, vmax: float = 100,
     instead of ~10 float passes (matters on weak host cores). ``out`` reuses
     a persistent ``frames.shape + (3,)`` uint8 buffer.
     '''
+    if order not in ('rgb', 'bgr'):
+        raise ValueError(f"order must be 'rgb' or 'bgr', got {order!r}")
     frames = np.asarray(frames)
-    base_lut = _JET_LUT if order == 'rgb' else np.ascontiguousarray(_JET_LUT[:, ::-1])
+    base_lut = _JET_LUT if order == 'rgb' else _JET_LUT_BGR
     scale = 255.0 / max(vmax - vmin, 1e-6)
     if frames.dtype == np.uint8:
         # fold the intensity rescale into the LUT: zero arithmetic per pixel
@@ -343,8 +346,12 @@ class PreviewVideoWriter:
         self._bgr_buf: Optional[np.ndarray] = None
 
     def _frame_to_rgb(self, frame: np.ndarray, frame_no: Optional[int]) -> np.ndarray:
+        '''Convert one frame to a uint8 color frame in ``self.channel_order``
+        (gray frames are colormapped in that order; uint8 color frames are
+        assumed to already BE in that order).'''
         if frame.ndim == 2:
-            rgb = apply_colormap_jet(frame[None], self.vmin, self.vmax)[0]
+            rgb = apply_colormap_jet(frame[None], self.vmin, self.vmax,
+                                     order=self.channel_order)[0]
         elif frame.dtype == np.uint8:
             rgb = np.ascontiguousarray(frame)  # no copy when already packed
         else:
@@ -358,29 +365,37 @@ class PreviewVideoWriter:
                 pass
         return rgb
 
-    def write_frames(self, frame_idxs: np.ndarray, frames: np.ndarray) -> None:
-        '''Append ``frames`` (gray or RGB) to the preview video.
+    def write_frames(self, frame_idxs: np.ndarray, frames: np.ndarray,
+                     writable: bool = False) -> None:
+        '''Append ``frames`` (gray or color) to the preview video.
 
-        uint8 RGB blocks take a batched path: one block-wide BGR conversion
+        uint8 color blocks take a batched path: one block-wide BGR conversion
         into a persistent buffer (cv2 route) or one pipe write per block
         (ffmpeg route) instead of a per-frame convert+copy — fresh-page
-        allocation per frame was a measured preview bottleneck.'''
+        allocation per frame was a measured preview bottleneck.
+
+        ``writable=True`` declares the caller's block safe to mutate in
+        place (e.g. a reused render buffer): frame-number stamps then skip
+        the defensive copy that channel-native blocks otherwise require.'''
         if frames.shape[1] % 2:
             frames = np.pad(frames, ((0, 0), (0, 1)) + ((0, 0),) * (frames.ndim - 2))
         if frames.shape[2] % 2:
             frames = np.pad(frames, ((0, 0), (0, 0), (0, 1)) + ((0, 0),) * (frames.ndim - 3))
 
         if frames.ndim == 4 and frames.dtype == np.uint8 and FFMPEG is not None:
-            frames = np.ascontiguousarray(frames)
-            if frame_idxs is not None:  # stamp frame numbers in place
-                for i in range(frames.shape[0]):
-                    self._frame_to_rgb(frames[i], int(frame_idxs[i]))
-            self._ffmpeg_pipe(frames.shape).stdin.write(memoryview(frames))
+            contig = np.ascontiguousarray(frames)
+            if frame_idxs is not None:  # stamp frame numbers
+                if contig is frames and not writable:
+                    contig = frames.copy()
+                for i in range(contig.shape[0]):
+                    self._frame_to_rgb(contig[i], int(frame_idxs[i]))
+            self._ffmpeg_pipe(contig.shape).stdin.write(memoryview(contig))
             return
         if frames.ndim == 4 and frames.dtype == np.uint8:
             try:
                 import cv2
-                return self._write_block_cv2(cv2, frame_idxs, frames)
+                return self._write_block_cv2(cv2, frame_idxs, frames,
+                                             writable=writable)
             except ImportError:  # pragma: no cover - fall through per-frame
                 pass
 
@@ -394,9 +409,13 @@ class PreviewVideoWriter:
                     fourcc = cv2.VideoWriter_fourcc(*'mp4v')
                     self._cvwriter = cv2.VideoWriter(self.filename, fourcc, self.fps,
                                                      (rgb.shape[1], rgb.shape[0]))
-                self._cvwriter.write(cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+                if self.channel_order == 'bgr':  # already encoder-native
+                    self._cvwriter.write(rgb)
+                else:
+                    self._cvwriter.write(cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
 
-    def _write_block_cv2(self, cv2, frame_idxs, frames) -> None:
+    def _write_block_cv2(self, cv2, frame_idxs, frames,
+                         writable: bool = False) -> None:
         '''Batched uint8 color block write through the cv2 encoder.
 
         RGB blocks take one block-wide cvtColor into a persistent BGR buffer
@@ -407,7 +426,16 @@ class PreviewVideoWriter:
         stamped/encoded in place.'''
         n, h, w, _ = frames.shape
         if self.channel_order == 'bgr':
-            bgr = np.ascontiguousarray(frames)
+            if writable and frames.flags.c_contiguous:
+                bgr = frames  # caller-owned render buffer: stamp in place
+            else:
+                # copy into the persistent buffer: the frame-number stamp
+                # below mutates pixels, and aliasing the caller's block would
+                # scribble on data the pipeline may still be reading
+                bgr = self._bgr_buf
+                if bgr is None or bgr.shape != frames.shape:
+                    bgr = self._bgr_buf = np.empty(frames.shape, np.uint8)
+                np.copyto(bgr, frames)
         else:
             bgr = self._bgr_buf
             if bgr is None or bgr.shape != frames.shape:

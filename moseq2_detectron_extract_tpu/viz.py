@@ -102,10 +102,16 @@ def stack_videos(videos, orientation: str = 'horizontal',
 _DEFAULT_NAME_TO_IDX = {n: i for i, n in enumerate(default_keypoint_names)}
 
 
+def _chan(color, order: str):
+    '''Reverse a draw color for BGR-native rendering.'''
+    return tuple(color[::-1]) if order == 'bgr' else tuple(color)
+
+
 def draw_keypoints(image: np.ndarray, keypoints: np.ndarray,
                    names: Optional[Sequence[str]] = None,
-                   draw_skeleton: bool = True) -> np.ndarray:
-    '''Draw keypoint dots + skeleton onto an RGB uint8 image in place.'''
+                   draw_skeleton: bool = True, order: str = 'rgb') -> np.ndarray:
+    '''Draw keypoint dots + skeleton onto a uint8 color image in place
+    (``order`` names the image's channel order so colors land correctly).'''
     if not HAS_CV2:
         return image
     if names is None:  # called once per frame: avoid rebuilding the map
@@ -115,7 +121,8 @@ def draw_keypoints(image: np.ndarray, keypoints: np.ndarray,
     for ki, (x, y, *rest) in enumerate(np.atleast_2d(keypoints)):
         if not (np.isfinite(x) and np.isfinite(y)):
             continue
-        color = default_keypoint_colors[ki % len(default_keypoint_colors)]
+        color = _chan(default_keypoint_colors[ki % len(default_keypoint_colors)],
+                      order)
         cv2.circle(image, (int(round(x)), int(round(y))), 2, color, -1, cv2.LINE_AA)
     if draw_skeleton:
         for a, b, color in default_keypoint_connection_rules:
@@ -125,7 +132,8 @@ def draw_keypoints(image: np.ndarray, keypoints: np.ndarray,
             pb = keypoints[name_to_idx[b]]
             if np.isfinite(pa[:2]).all() and np.isfinite(pb[:2]).all():
                 cv2.line(image, (int(round(pa[0])), int(round(pa[1]))),
-                         (int(round(pb[0])), int(round(pb[1]))), color, 1, cv2.LINE_AA)
+                         (int(round(pb[0])), int(round(pb[1]))), _chan(color, order),
+                         1, cv2.LINE_AA)
     return image
 
 
@@ -312,10 +320,11 @@ class ArenaView:
     preview bottleneck on weak hosts).'''
 
     def __init__(self, roi: Optional[np.ndarray], vmin: float = 0,
-                 vmax: float = 100, scale: float = 1.0):
+                 vmax: float = 100, scale: float = 1.0, order: str = 'rgb'):
         self.vmin = vmin
         self.vmax = vmax
         self.scale = scale
+        self.order = order
         self.contours = None
         self._stamp = None  # cached (shape, ys, xs, alpha) contour overlay
         if roi is not None and HAS_CV2:
@@ -350,10 +359,11 @@ class ArenaView:
             px = video[:, ys, xs].astype(np.float32)
             px += alpha * (np.array((0, 255, 0), np.float32) - px)
             video[:, ys, xs] = (px + 0.5).astype(np.uint8)
+        mask_color = _chan((0, 0, 255), self.order)
         for i in range(video.shape[0]):
             im = video[i]
             if masks is not None:
-                _blend_mask(im, masks[i])
+                _blend_mask(im, masks[i], color=mask_color)
             if boxes is not None and HAS_CV2:
                 for b, box in enumerate(np.atleast_2d(boxes[i]) * s):
                     if np.any(np.isnan(box)):
@@ -364,7 +374,8 @@ class ArenaView:
                                 cv2.FONT_HERSHEY_SIMPLEX, 0.4, (255, 255, 255), 1,
                                 cv2.LINE_AA)
             if keypoints is not None:
-                draw_keypoints(im, np.asarray(keypoints[i]) * [s, s, 1])
+                draw_keypoints(im, np.asarray(keypoints[i]) * [s, s, 1],
+                               order=self.order)
         return video
 
     def _contour_stamp(self, h: int, w: int):
@@ -386,8 +397,9 @@ class RotatedKeypointsView:
     '''Cropped/rotated mask + rotated keypoints about the crop center
     (m2de/viz.py:576-610).'''
 
-    def __init__(self, scale: float = 1.5):
+    def __init__(self, scale: float = 1.5, order: str = 'rgb'):
         self.scale = scale
+        self.order = order
 
     def render(self, masks: np.ndarray, rot_keypoints: np.ndarray,
                out: Optional[np.ndarray] = None) -> np.ndarray:
@@ -412,19 +424,22 @@ class RotatedKeypointsView:
             masks = masks[:, iy[:, None], ix[None, :]]
         kpts_all = np.asarray(rot_keypoints, 'float64').copy()
         kpts_all[:, :, :2] = kpts_all[:, :, :2] * self.scale + origin
+        mask_color = _chan((0, 0, 255), self.order)
         for i in range(n):
-            _blend_mask(video[i], masks[i], alpha=0.7)
-            draw_keypoints(video[i], kpts_all[i])
+            _blend_mask(video[i], masks[i], alpha=0.7, color=mask_color)
+            draw_keypoints(video[i], kpts_all[i], order=self.order)
         return video
 
 
 class CleanedFramesView:
     '''Jet-colorized masked cleaned crops (m2de/viz.py:612-620).'''
 
-    def __init__(self, vmin: float = 0, vmax: float = 100, scale: float = 1.5):
+    def __init__(self, vmin: float = 0, vmax: float = 100, scale: float = 1.5,
+                 order: str = 'rgb'):
         self.vmin = vmin
         self.vmax = vmax
         self.scale = scale
+        self.order = order
 
     def render(self, clean_frames: np.ndarray, masks: np.ndarray,
                out: Optional[np.ndarray] = None) -> np.ndarray:
@@ -433,7 +448,7 @@ class CleanedFramesView:
         video = apply_colormap_jet(
             np.asarray(clean_frames) * (np.asarray(masks) > 0),
             self.vmin, self.vmax,
-            out=out if self.scale == 1.0 else None)
+            out=out if self.scale == 1.0 else None, order=self.order)
         if self.scale != 1.0 and HAS_CV2:
             n, h, w = video.shape[:3]
             sh, sw = int(h * self.scale), int(w * self.scale)
