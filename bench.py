@@ -176,13 +176,29 @@ def warm_guest_pages(gb: int = 8, max_seconds: float = 420.0) -> float:
     return time.perf_counter() - t0
 
 
+def _emit_placeholder_record():
+    '''Print a labeled placeholder headline IMMEDIATELY so a benchmark record
+    exists even if the run below is killed by the driver's timeout
+    (round-2 lesson: BENCH_r02 was lost to rc=124 with no JSON at all).
+    The real result overwrites it as a later line — the driver keeps the
+    last parseable line.'''
+    print(json.dumps({
+        'metric': 'extract_throughput', 'value': 0.0,
+        'unit': 'frames/sec/chip', 'vs_baseline': 0.0,
+        'note': 'placeholder emitted at startup; run did not reach the '
+                'measured result before being killed if this is the last line',
+    }), flush=True)
+
+
 def main():
     import tempfile
     import logging
+    _emit_placeholder_record()
     from moseq2_detectron_extract_tpu.utils.compile_cache import \
         enable_compilation_cache
     enable_compilation_cache()  # repeat runs skip the multi-minute jit compile
-    warmed = warm_guest_pages()
+    warmed = warm_guest_pages(
+        max_seconds=float(os.environ.get('BENCH_WARM_PAGES_BUDGET', 150)))
     if warmed:
         print(f'# warmed cold guest pages for {warmed:.0f}s '
               f'(degraded-host mitigation; excluded from the timed window)',
