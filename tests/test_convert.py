@@ -114,8 +114,9 @@ def t_fpn(feats, state):
     return outs  # P2..P6
 
 
-def make_backbone_state(width=16):
-    '''Random d2-named state dict for a (narrow) R50-FPN.'''
+def make_backbone_state(width=16, fpn_c=32):
+    '''Random d2-named state dict for an R50-FPN (zoo shapes at width=64,
+    fpn_c=256; narrow variants for fast tests).'''
     state = {}
     w = width
 
@@ -143,7 +144,7 @@ def make_backbone_state(width=16):
                 state[f'{prefix}.shortcut.weight'] = _w(out_c, in_c, 1, 1)
                 add_bn(f'{prefix}.shortcut', out_c)
             in_c = out_c
-    fpn_c = 32  # multiple of 32 for GN
+    # fpn_c must be a multiple of 32 for GN
     for level, c in zip((2, 3, 4, 5), (w * 4, w * 8, w * 16, w * 32)):
         state[f'backbone.fpn_lateral{level}.weight'] = _w(fpn_c, c, 1, 1)
         state[f'backbone.fpn_lateral{level}.norm.weight'] = _w(fpn_c) + 1.0
