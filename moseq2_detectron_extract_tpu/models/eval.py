@@ -62,21 +62,40 @@ def _mask_iou_matrix(pred: Sequence[np.ndarray], gt: Sequence[np.ndarray]) -> np
 
 
 def _oks_matrix(pred_kpts: np.ndarray, gt_kpts: np.ndarray, gt_areas: np.ndarray,
-                sigmas: np.ndarray) -> np.ndarray:
-    '''Object keypoint similarity (COCO formula) with per-keypoint sigmas.'''
+                sigmas: np.ndarray,
+                gt_boxes: Optional[np.ndarray] = None) -> np.ndarray:
+    '''Object keypoint similarity (COCO formula) with per-keypoint sigmas.
+
+    For GT with zero visible keypoints pycocotools computeOks falls back to
+    a box-distance measure (distance outside a 3x-expanded gt box); those GT
+    are ignored by the matcher, and the fallback lets detections match (and
+    thus be ignored with) them instead of scoring as false positives.
+    ``gt_boxes`` is (G, 4) xyxy for that fallback.
+    '''
     n_pred, n_gt = len(pred_kpts), len(gt_kpts)
     out = np.zeros((n_pred, n_gt))
     vars_ = (2 * sigmas) ** 2
     for j in range(n_gt):
         vis = gt_kpts[j, :, 2] > 0
-        if not vis.any():
-            continue
-        scale = max(gt_areas[j], 1e-9)
-        for i in range(n_pred):
-            dx = pred_kpts[i, :, 0] - gt_kpts[j, :, 0]
-            dy = pred_kpts[i, :, 1] - gt_kpts[j, :, 1]
-            e = (dx ** 2 + dy ** 2) / (vars_ * 2 * scale)
-            out[i, j] = np.mean(np.exp(-e[vis]))
+        scale = (gt_areas[j] + np.spacing(1)) * 2
+        if vis.any():
+            for i in range(n_pred):
+                dx = pred_kpts[i, :, 0] - gt_kpts[j, :, 0]
+                dy = pred_kpts[i, :, 1] - gt_kpts[j, :, 1]
+                e = (dx ** 2 + dy ** 2) / (vars_ * scale)
+                out[i, j] = np.mean(np.exp(-e[vis]))
+        elif gt_boxes is not None:
+            bx0, by0, bx1, by1 = gt_boxes[j]
+            bw, bh = bx1 - bx0, by1 - by0
+            x0, x1 = bx0 - bw, bx0 + 2 * bw
+            y0, y1 = by0 - bh, by0 + 2 * bh
+            for i in range(n_pred):
+                xd = pred_kpts[i, :, 0]
+                yd = pred_kpts[i, :, 1]
+                dx = np.maximum(0, x0 - xd) + np.maximum(0, xd - x1)
+                dy = np.maximum(0, y0 - yd) + np.maximum(0, yd - y1)
+                e = (dx ** 2 + dy ** 2) / (vars_ * scale)
+                out[i, j] = np.mean(np.exp(-e))
     return out
 
 
@@ -158,10 +177,17 @@ def _evaluate_task(sim_matrices: List[np.ndarray],
                    gt_areas_per_image: List[np.ndarray],
                    det_areas_per_image: List[np.ndarray],
                    max_dets: int,
-                   area_labels: Sequence[str]) -> Dict[str, float]:
+                   area_labels: Sequence[str],
+                   gt_ignore_per_image: Optional[List[np.ndarray]] = None
+                   ) -> Dict[str, float]:
     '''AP over IoU thresholds x area ranges given per-image similarity
-    matrices (P_i, G_i), with COCOeval maxDets + ignore semantics.'''
+    matrices (P_i, G_i), with COCOeval maxDets + ignore semantics.
+    ``gt_ignore_per_image`` adds task-level base ignore flags (e.g. the
+    keypoint task's zero-visible-keypoint GT) on top of the area ranges.'''
     results: Dict[str, float] = {}
+    if gt_ignore_per_image is None:
+        gt_ignore_per_image = [np.zeros(len(a), bool)
+                               for a in gt_areas_per_image]
 
     # maxDets truncation: keep the top-scoring max_dets detections per image
     trunc = []
@@ -179,8 +205,9 @@ def _evaluate_task(sim_matrices: List[np.ndarray],
         for thresh in IOU_THRESHOLDS:
             flags, igs, all_scores = [], [], []
             n_gt = 0
-            for (sim, scores, dareas), gareas in zip(trunc, gt_areas_per_image):
-                gt_ignore = (gareas < lo) | (gareas > hi)
+            for (sim, scores, dareas), gareas, g_base in zip(
+                    trunc, gt_areas_per_image, gt_ignore_per_image):
+                gt_ignore = (gareas < lo) | (gareas > hi) | g_base
                 n_gt += int((~gt_ignore).sum())
                 det_in = (dareas >= lo) & (dareas <= hi)
                 m, ig = _match_image(sim, scores, gt_ignore, det_in, thresh)
@@ -243,7 +270,7 @@ def evaluate_predictions(items: Sequence[DataItem],
     sigmas = np.asarray(oks_sigmas, float)
     box_sims, mask_sims, kp_sims, scores_list = [], [], [], []
     gt_box_areas, gt_mask_areas, det_box_areas, det_mask_areas = [], [], [], []
-    kp_gt_areas, det_kp_areas = [], []
+    kp_gt_areas, det_kp_areas, kp_gt_ignore = [], [], []
     for item, pred in zip(items, predictions):
         gt_boxes, gt_masks, gt_kpts = _gt_from_item(item)
         valid = np.asarray(pred['valid'], bool)
@@ -267,11 +294,16 @@ def evaluate_predictions(items: Sequence[DataItem],
         # area, not the box area (cocoeval.py computeOks: gt['area'])
         if gt_kpts.size:
             kp_sims.append(_oks_matrix(np.asarray(pred['keypoints'])[valid],
-                                       gt_kpts, g_area, sigmas))
+                                       gt_kpts, g_area, sigmas,
+                                       gt_boxes=gt_boxes))
             kp_gt_areas.append(g_area)
+            # pycocotools _prepare: keypoint-task GT with zero visible
+            # keypoints are ignored (num_keypoints == 0)
+            kp_gt_ignore.append((gt_kpts[:, :, 2] > 0).sum(axis=1) == 0)
         else:
             kp_sims.append(np.zeros((len(p_scores), 0)))
             kp_gt_areas.append(np.zeros(0))
+            kp_gt_ignore.append(np.zeros(0, bool))
         # keypoint-task detection areas: pycocotools loadRes derives them
         # from the keypoint-extent bbox, not the predicted box
         pk = np.asarray(pred['keypoints'])[valid]
@@ -290,7 +322,8 @@ def evaluate_predictions(items: Sequence[DataItem],
                                ('all', 'small', 'medium', 'large')),
         'keypoints': _evaluate_task(kp_sims, scores_list, kp_gt_areas,
                                     det_kp_areas, kp_max_dets,
-                                    ('all', 'medium', 'large')),
+                                    ('all', 'medium', 'large'),
+                                    gt_ignore_per_image=kp_gt_ignore),
     }
 
 
