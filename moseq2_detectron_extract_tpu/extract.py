@@ -31,6 +31,11 @@ def extract_session(session: Session, config: dict) -> str:
     '''
     start_time = time.time()
 
+    # keep the chunk-sized host buffers heap-resident across chunks: default
+    # glibc mmap policy re-faults ~165 MB of pages per chunk (utils/hostmem)
+    from moseq2_detectron_extract_tpu.utils.hostmem import tune_host_allocator
+    tune_host_allocator()
+
     if config.get('output_dir') is None:
         config['output_dir'] = os.path.join(session.dirname, 'proc')
     output_dir = ensure_dir(config['output_dir'])
