@@ -32,6 +32,31 @@ EVAL_EVERY = int(os.environ.get('EVAL_EVERY', 250))
 TARGET_RATE = float(os.environ.get('TARGET_RATE', 0.99))
 SEED = 0
 
+# BENCH_CANVAS overrides the model canvas (e.g. 192 for the fast inference
+# variant: ~1.8x less backbone/FPN work; min/max test sizes scale with it so
+# ResizeShortestEdge fills the smaller canvas the same way)
+
+
+def config_overrides():
+    '''ModelConfig kwargs from the env (fast-variant canvas etc.).'''
+    out = {}
+    canvas = os.environ.get('BENCH_CANVAS')
+    if canvas:
+        canvas = int(canvas)
+        ratio = canvas / 256.0
+        out.update(image_size=canvas,
+                   min_size_test=int(240 * ratio),
+                   max_size_test=int(250 * ratio),
+                   min_size_train=int(240 * ratio),
+                   max_size_train=int(250 * ratio))
+    topk = os.environ.get('BENCH_TOPK')
+    if topk:
+        out['rpn_post_nms_topk_test'] = int(topk)
+    cap = os.environ.get('BENCH_NMS_CAP')
+    if cap:
+        out['rpn_nms_global_cap'] = int(cap)
+    return out
+
 
 def roi_view_params():
     '''The bench session's deterministic ROI crop: (x0, y0, side, scale,
@@ -48,7 +73,7 @@ def roi_view_params():
     sess.find_roi(bg_roi_depth_range=(650, 750), cache_dir=None)
     (y0, x0), (y1, x1) = bbox_from_roi(sess.roi)
     side = max(y1 - y0, x1 - x0)
-    cfg = ModelConfig()
+    cfg = ModelConfig(**config_overrides())
     scale = compute_test_scale(side, side, cfg.min_size_test, cfg.max_size_test)
     return sess.roi, sess.bground_im, (x0, y0), side, scale
 
@@ -152,7 +177,8 @@ def main():
     cfg = ModelConfig(
         test_detections_per_image=1, max_gt_instances=1,
         base_lr=float(os.environ.get('LR', 5e-3)),
-        warmup_iters=int(os.environ.get('WARMUP', 300)))
+        warmup_iters=int(os.environ.get('WARMUP', 300)),
+        **config_overrides())
     print(f'devices: {jax.devices()}  canvas {cfg.image_size}', flush=True)
 
     rng = np.random.default_rng(SEED)
