@@ -132,10 +132,62 @@ class FFProbeInfo(TypedDict):
     nframes: int
 
 
+_CV2_FFMPEG: Optional[bool] = None
+
+
+def has_cv2_ffmpeg() -> bool:
+    '''True when OpenCV was built against the FFMPEG (libav*) libraries —
+    the in-process fallback used for every compressed-video path when the
+    ffmpeg/ffprobe BINARIES are absent (this sandbox ships libavcodec/
+    libavformat but no CLI). Verified lossless for 16-bit FFV1 in
+    tests/test_video_cv2_ffv1.py.'''
+    global _CV2_FFMPEG
+    if _CV2_FFMPEG is None:
+        try:
+            import cv2
+            _CV2_FFMPEG = 'FFMPEG:' in cv2.getBuildInformation() and \
+                'FFMPEG:                      YES' in cv2.getBuildInformation()
+        except ImportError:  # pragma: no cover
+            _CV2_FFMPEG = False
+    return _CV2_FFMPEG
+
+
 def _require_ffmpeg():
     if FFMPEG is None or FFPROBE is None:
         raise RuntimeError('ffmpeg/ffprobe not available on this host; '
                            'compressed video paths require them. Raw .dat sessions work without.')
+
+
+class _Cv2VideoPipe:
+    '''cv2.VideoWriter wrapped in the minimal ``subprocess.Popen`` surface
+    the chunked ffv1 writer loop drives (``pipe.stdin.close()`` +
+    ``pipe.wait()`` — m2de/cli.py:195-205 semantics).'''
+
+    def __init__(self, filename: str, fps: int, frame_size: Tuple[int, int],
+                 pixel_format: str, codec: str):
+        import cv2
+        fourcc = cv2.VideoWriter_fourcc(*('FFV1' if codec == 'ffv1' else 'mp4v'))
+        params = []
+        if pixel_format == 'gray16le':
+            params = [cv2.VIDEOWRITER_PROP_DEPTH, cv2.CV_16U,
+                      cv2.VIDEOWRITER_PROP_IS_COLOR, 0]
+        self._writer = cv2.VideoWriter(filename, cv2.CAP_FFMPEG, fourcc,
+                                       float(fps), frame_size, params)
+        if not self._writer.isOpened():
+            raise RuntimeError(
+                f'cv2 FFMPEG backend could not open {filename} for '
+                f'{codec}/{pixel_format}')
+        self.stdin = self  # duck-typed: pipe.stdin.close() is a no-op
+
+    def write_frame(self, frame: np.ndarray) -> None:
+        self._writer.write(frame)
+
+    def close(self) -> None:
+        '''stdin.close() analog — the writer finalizes in wait().'''
+
+    def wait(self) -> int:
+        self._writer.release()
+        return 0
 
 
 def _stage_tar_member(filename: tarfile.TarInfo, tar_object: tarfile.TarFile) -> str:
@@ -149,9 +201,50 @@ def _stage_tar_member(filename: tarfile.TarInfo, tar_object: tarfile.TarFile) ->
     return tmp.name
 
 
+def _get_video_info_cv2(filename: str) -> FFProbeInfo:
+    '''Probe via cv2's FFMPEG backend (binary-free ffprobe analog).'''
+    import cv2
+    cap = cv2.VideoCapture(filename, cv2.CAP_FFMPEG)
+    if not cap.isOpened():
+        raise RuntimeError(f'cv2 FFMPEG backend could not open {filename}')
+    try:
+        fourcc = int(cap.get(cv2.CAP_PROP_FOURCC))
+        codec = ''.join(chr((fourcc >> (8 * i)) & 0xFF) for i in range(4))
+        codec = codec.strip('\x00').lower()
+        dims = (int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+                int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)))
+        fps = float(cap.get(cv2.CAP_PROP_FPS))
+        nframes = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        # pixel format: decode one frame without RGB conversion and inspect
+        cap.set(cv2.CAP_PROP_CONVERT_RGB, 0)
+        ok, frame = cap.read()
+        if ok and frame is not None and frame.dtype == np.uint16:
+            pixel_format = 'gray16le'
+        elif ok and frame is not None and frame.ndim == 2:
+            pixel_format = 'gray'
+        else:
+            pixel_format = 'yuv420p'
+        return {'file': filename, 'codec': 'ffv1' if codec == '1vff' else codec,
+                'pixel_format': pixel_format, 'dims': dims, 'fps': fps,
+                'nframes': nframes}
+    finally:
+        cap.release()
+
+
 def get_video_info(filename: Union[str, tarfile.TarInfo],
                    tar_object: Optional[tarfile.TarFile] = None) -> FFProbeInfo:
-    '''Probe a compressed video for codec/dims/fps/frame count via ffprobe.'''
+    '''Probe a compressed video for codec/dims/fps/frame count via ffprobe
+    (or cv2's in-process FFMPEG backend when the binary is absent).'''
+    if FFPROBE is None and has_cv2_ffmpeg():
+        staged = None
+        if isinstance(filename, tarfile.TarInfo):
+            assert tar_object is not None
+            staged = _stage_tar_member(filename, tar_object)
+        try:
+            return _get_video_info_cv2(staged or filename)
+        finally:
+            if staged:
+                os.remove(staged)
     _require_ffmpeg()
     staged = None
     if isinstance(filename, tarfile.TarInfo):
@@ -185,7 +278,22 @@ def write_frames(filename: str, frames: np.ndarray, threads: int = 6, fps: int =
                  pixel_format: str = 'gray16le', codec: str = 'ffv1',
                  close_pipe: bool = True, pipe=None, slices: int = 24,
                  slicecrc: int = 1, frame_size: Optional[str] = None):
-    '''Stream uint16 frames to a lossless ffv1 avi via an ffmpeg stdin pipe.'''
+    '''Stream uint16 frames to a lossless ffv1 avi via an ffmpeg stdin pipe
+    (or cv2's in-process libav encoder when the binary is absent — verified
+    bit-exact for gray16le ffv1 in tests/test_video_cv2_ffv1.py).'''
+    if FFMPEG is None and has_cv2_ffmpeg():
+        if pipe is None:
+            pipe = _Cv2VideoPipe(filename, fps,
+                                 (frames.shape[2], frames.shape[1]),
+                                 pixel_format, codec)
+        for i in range(frames.shape[0]):
+            pipe.write_frame(np.ascontiguousarray(
+                frames[i].astype('uint16' if pixel_format == 'gray16le'
+                                 else frames.dtype)))
+        if close_pipe:
+            pipe.wait()
+            return None
+        return pipe
     _require_ffmpeg()
     if frame_size is None:
         frame_size = f'{frames.shape[2]:d}x{frames.shape[1]:d}'
@@ -204,11 +312,56 @@ def write_frames(filename: str, frames: np.ndarray, threads: int = 6, fps: int =
     return pipe
 
 
+def _read_frames_cv2(filename: str, frames, pixel_format: str) -> np.ndarray:
+    '''Seek-decode via cv2's FFMPEG backend: consecutive runs share one seek
+    (CAP_PROP_POS_FRAMES) and decode sequentially.'''
+    import cv2
+    cap = cv2.VideoCapture(filename, cv2.CAP_FFMPEG)
+    if not cap.isOpened():
+        raise RuntimeError(f'cv2 FFMPEG backend could not open {filename}')
+    try:
+        if pixel_format == 'gray16le':
+            cap.set(cv2.CAP_PROP_CONVERT_RGB, 0)
+        if frames is None or len(frames) == 0:
+            frames = list(range(int(cap.get(cv2.CAP_PROP_FRAME_COUNT))))
+        else:
+            frames = [int(f) for f in frames]
+        pos = {f: i for i, f in enumerate(frames)}
+        out = None
+        for start, nframes in collapse_consecutive_values(sorted(frames)):
+            if int(cap.get(cv2.CAP_PROP_POS_FRAMES)) != start:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+            for k in range(nframes):
+                ok, frame = cap.read()
+                if not ok:
+                    raise RuntimeError(
+                        f'decode failed at frame {start + k} of {filename}')
+                if pixel_format == 'rgb24' and frame.ndim == 3:
+                    frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                if out is None:
+                    out = np.empty((len(frames),) + frame.shape, frame.dtype)
+                out[pos[start + k]] = frame
+        return out
+    finally:
+        cap.release()
+
+
 def read_frames(filename: Union[str, tarfile.TarInfo], frames=None, threads: int = 6,
                 fps: int = 30, pixel_format: str = 'gray16le',
                 frame_size: Optional[Tuple[int, int]] = None, slices: int = 24,
                 slicecrc: int = 1, tar_object: Optional[tarfile.TarFile] = None, **_) -> np.ndarray:
-    '''Decode frames from a compressed video through an ffmpeg rawvideo pipe.'''
+    '''Decode frames from a compressed video through an ffmpeg rawvideo pipe
+    (or cv2's in-process libav decoder when the binary is absent).'''
+    if FFMPEG is None and has_cv2_ffmpeg():
+        staged = None
+        if isinstance(filename, tarfile.TarInfo):
+            assert tar_object is not None
+            staged = _stage_tar_member(filename, tar_object)
+        try:
+            return _read_frames_cv2(staged or filename, frames, pixel_format)
+        finally:
+            if staged:
+                os.remove(staged)
     _require_ffmpeg()
     staged = None
     if isinstance(filename, tarfile.TarInfo):

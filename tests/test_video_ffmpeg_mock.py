@@ -68,6 +68,7 @@ class TestRequireGate:
     def test_raises_without_ffmpeg(self, monkeypatch):
         monkeypatch.setattr(V, 'FFMPEG', None)
         monkeypatch.setattr(V, 'FFPROBE', None)
+        monkeypatch.setattr(V, '_CV2_FFMPEG', False)  # also no cv2 fallback
         with pytest.raises(RuntimeError, match='ffmpeg/ffprobe not available'):
             V.get_video_info('x.avi')
         with pytest.raises(RuntimeError, match='ffmpeg/ffprobe not available'):
