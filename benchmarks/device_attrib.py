@@ -91,6 +91,11 @@ def main():
                              'setting; benchmarks/PROPOSAL_AB.md)')
     parser.add_argument('--cap', type=int, default=512,
                         help='rpn_nms_global_cap (deployed bench-model setting)')
+    parser.add_argument('--canvas', type=int, default=256,
+                        help='model canvas (image_size); test sizes scale '
+                             'with it like benchmarks/train_bench_model.py')
+    parser.add_argument('--out', default='DEVICE_ATTRIB.md',
+                        help='output markdown filename (under benchmarks/)')
     args = parser.parse_args()
 
     from moseq2_detectron_extract_tpu.utils.compile_cache import \
@@ -103,15 +108,21 @@ def main():
     from moseq2_detectron_extract_tpu.models.predictor import Predictor
     from moseq2_detectron_extract_tpu.models.rcnn import MaskKeypointRCNN
 
+    ratio = args.canvas / 256.0
+    view = int(240 * ratio)
     cfg = ModelConfig(test_detections_per_image=args.dets,
                       rpn_post_nms_topk_test=args.topk,
-                      rpn_nms_global_cap=args.cap)
+                      rpn_nms_global_cap=args.cap,
+                      image_size=args.canvas,
+                      min_size_test=view,
+                      max_size_test=int(250 * ratio))
     model = MaskKeypointRCNN(cfg)
     b = args.batch
     canvas = cfg.image_size
     images = jnp.asarray(np.random.default_rng(0).normal(
         0, 1, (b, canvas, canvas, 3)).astype('float32'))
-    image_sizes = jnp.tile(jnp.asarray([[240.0, 240.0]], jnp.float32), (b, 1))
+    image_sizes = jnp.tile(
+        jnp.asarray([[float(view), float(view)]], jnp.float32), (b, 1))
     params = model.init(jax.random.PRNGKey(0), images[:1],
                         method=MaskKeypointRCNN.init_params)
 

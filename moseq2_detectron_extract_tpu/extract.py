@@ -15,6 +15,7 @@ from moseq2_detectron_extract_tpu.io.util import (attach_file_logger, ensure_dir
                                                   write_yaml)
 from moseq2_detectron_extract_tpu.pipeline import (FetchResultsStep,
                                                    InferenceStep, Pipeline,
+                                                   PreviewEncodeStep,
                                                    PreviewVideoWriterStep,
                                                    ProcessFeaturesStep,
                                                    ProduceFramesStep,
@@ -98,6 +99,10 @@ def extract_session(session: Session, config: dict) -> str:
                                    config=config)
         step3a = pipeline.add_step('   Preview Video', PreviewVideoWriterStep,
                                    config=config)
+        step3c = pipeline.add_step('  Preview Encode', PreviewEncodeStep,
+                                   config=config)
+        # writer added last: log_processing_status reads steps[-1] as the
+        # completion tracker
         step3b = pipeline.add_step('    Write Reults', ResultWriterStep,
                                    show_progress=True, config=config)
         pipeline.link(step0, step1)
@@ -105,6 +110,7 @@ def extract_session(session: Session, config: dict) -> str:
         pipeline.link(step2a, step2b)
         pipeline.link(step2b, step2c)
         pipeline.link(step2c, step3a, step3b)
+        pipeline.link(step3a, step3c)
         pipeline.add_timed_callback(30.0, log_processing_status)
 
         pipeline.start()

@@ -10,6 +10,7 @@ from moseq2_detectron_extract_tpu.pipeline.pipeline import (Pipeline, WorkerErro
 from moseq2_detectron_extract_tpu.pipeline.pipeline_step import PipelineStep
 from moseq2_detectron_extract_tpu.pipeline.steps import (FetchResultsStep,
                                                          InferenceStep,
+                                                         PreviewEncodeStep,
                                                          PreviewVideoWriterStep,
                                                          ProcessFeaturesStep,
                                                          ProduceFramesStep,
@@ -19,4 +20,4 @@ from moseq2_detectron_extract_tpu.pipeline.steps import (FetchResultsStep,
 __all__ = ['Pipeline', 'WorkerError', 'WorkerErrorInfo', 'PipelineStep',
            'ProduceFramesStep', 'InferenceStep', 'SelectInstancesStep',
            'ProcessFeaturesStep', 'FetchResultsStep',
-           'PreviewVideoWriterStep', 'ResultWriterStep']
+           'PreviewVideoWriterStep', 'PreviewEncodeStep', 'ResultWriterStep']

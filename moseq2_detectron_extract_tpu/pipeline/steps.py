@@ -497,15 +497,9 @@ class PreviewVideoWriterStep(PipelineStep):
                                                       RotatedKeypointsView,
                                                       stack_videos)
         config = self.config
-        out_path = os.path.join(config['output_dir'],
-                                f"results_{config['bg_roi_index']:02d}.mp4")
         # render BGR-native: the cv2 encoder wants BGR, so composing in its
         # order skips a block-wide cvtColor pass per 128-frame block
         order = 'bgr'
-        self.writer = PreviewVideoWriter(out_path, fps=config.get('fps', 30),
-                                         vmin=config['min_height'],
-                                         vmax=config['max_height'],
-                                         channel_order=order)
         vmin, vmax = config['min_height'], config['max_height']
         self.arena_view = ArenaView(config.get('roi'), vmin=vmin, vmax=vmax,
                                     scale=config.get('preview_arena_scale', 1.0),
@@ -519,14 +513,19 @@ class PreviewVideoWriterStep(PipelineStep):
         from moseq2_detectron_extract_tpu.proc.keypoints import \
             default_keypoint_names
         self.kp_names = default_keypoint_names
-        self.sub_times = {'marshal': 0.0, 'render': 0.0, 'encode': 0.0}
+        self.sub_times = {'marshal': 0.0, 'render': 0.0}
         # persistent render buffers, keyed by (name, shape): fresh-page
         # allocation per 128-frame block (~200 MB of cold pages) dominated
-        # the render on the 1-core host (benchmarks/preview_attrib.py)
+        # the render on the 1-core host (benchmarks/preview_attrib.py).
+        # Composite buffers ride the queue to the encode step, so they
+        # rotate through a small ring: at most queue_size(2) blocks queued
+        # + 1 being encoded + 1 being rendered are live at once
         self._bufs: dict = {}
+        self._ring = 4
+        self._block_no = 0
 
-    def _buf(self, name, shape):
-        key = (name, shape[1:])
+    def _buf(self, name, shape, slot: int = 0):
+        key = (name, shape[1:], slot)
         buf = self._bufs.get(key)
         if buf is None or buf.shape[0] < shape[0]:
             buf = np.zeros(shape, np.uint8)
@@ -596,22 +595,49 @@ class PreviewVideoWriterStep(PipelineStep):
                                            max(clean.shape[2], rot.shape[2]), 3)))
             else:
                 left = clean
+            slot = self._block_no % self._ring
+            self._block_no += 1
             composite = self.stack_videos(
                 [left, arena], orientation='horizontal',
                 out=self._buf('comp', (m, max(left.shape[1], arena.shape[1]),
-                                       left.shape[2] + arena.shape[2], 3)))
+                                       left.shape[2] + arena.shape[2], 3),
+                              slot=slot))
             tr = _time.perf_counter()
-            # composite is this step's own reused block buffer -> in-place
-            # frame-number stamping is safe and skips a block copy
-            self.writer.write_frames(frame_idxs[s:e], composite, writable=True)
-            te = _time.perf_counter()
+            # hand the block straight to the encode step (forward per block,
+            # not per chunk, so the encoder starts while later blocks render)
+            self._forward({'frame_idxs': frame_idxs[s:e],
+                           'composite': composite})
             self.sub_times['render'] += tr - tb
-            self.sub_times['encode'] += te - tr
         self.sub_times['marshal'] += t1 - t0
         return None
 
     def finalize(self):
-        self.writer.close()
         logging.info('[Preview Video] sub-stage busy: %s',
                      {k: round(v, 2) for k, v in self.sub_times.items()},
                      extra={'nostream': True})
+
+
+class PreviewEncodeStep(PipelineStep):
+    '''Encode rendered composite blocks to the preview mp4 — its own stage so
+    the encoder overlaps the render of later blocks (the reference runs
+    ffmpeg as a separate process beside a 4-thread render pool,
+    m2de/pipeline/preview_video_writer_step.py:56,93-114).'''
+
+    def initialize(self):
+        config = self.config
+        out_path = os.path.join(config['output_dir'],
+                                f"results_{config['bg_roi_index']:02d}.mp4")
+        self.writer = PreviewVideoWriter(out_path, fps=config.get('fps', 30),
+                                         vmin=config['min_height'],
+                                         vmax=config['max_height'],
+                                         channel_order='bgr')
+
+    def process(self, data):
+        # the composite is the render step's ring buffer: in-place stamping
+        # is safe (the slot is not reused until this block is consumed)
+        self.writer.write_frames(data['frame_idxs'], data['composite'],
+                                 writable=True)
+        return None
+
+    def finalize(self):
+        self.writer.close()
