@@ -252,8 +252,7 @@ def main():
     ]
     report = '\n'.join(lines)
     print(report)
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       'DEVICE_ATTRIB.md')
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), args.out)
     with open(out, 'w', encoding='utf-8') as fh:
         fh.write(report + '\n')
     print(f'\nwritten to {out}')

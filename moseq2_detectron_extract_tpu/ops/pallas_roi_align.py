@@ -78,6 +78,15 @@ def _pallas_impl(features, boxes, output_size, min_level, block_k, interpret,
     out_sz = output_size
     dtype = f_mat.dtype
 
+    # the per-image pyramid DMA slices f_hbm along H, which Mosaic requires
+    # sublane-aligned; h_total is 120 at the 256 canvas but e.g. 90 at 192 —
+    # zero-pad the stacked height (zero rows contribute nothing to stage 1)
+    hpad = (-h_total) % 8
+    if hpad:
+        f_mat = jnp.pad(f_mat, ((0, 0), (0, hpad), (0, 0)))
+        wy = jnp.pad(wy, ((0, 0), (0, 0), (0, 0), (0, hpad)))
+        h_total += hpad
+
     pad = (-k) % block_k
     if pad:
         wy = jnp.pad(wy, ((0, 0), (0, pad), (0, 0), (0, 0)))

@@ -273,6 +273,19 @@ class TestRoiAlign:
         tol = 5e-2 if jax.default_backend() == 'tpu' else 1e-2
         np.testing.assert_allclose(out, ref, atol=tol)
 
+    def test_pallas_kernel_unaligned_h_total(self):
+        # canvas 192 stacks the pyramid to h_total=90 (not sublane-aligned);
+        # the kernel zero-pads the stacked height — run the REAL kernel math
+        # via interpret mode so the alignment path is covered off-TPU
+        # (regression: Mosaic 'slice must be aligned to tiling (8)' at the
+        # fast-variant canvas)
+        feats, boxes = self._random_pyramid(b=2, k=8, canvas=192)
+        assert sum(f.shape[1] for f in feats) % 8 != 0
+        ref = np.asarray(batched_multilevel_roi_align(feats, boxes, 7))
+        out = np.asarray(pallas_separable_roi_align(
+            feats, boxes, 7, interpret=True, block_k=8))
+        np.testing.assert_allclose(out, ref, atol=1e-2)
+
     def test_crop_resize_mask(self):
         mask = np.zeros((32, 32), bool)
         mask[8:24, 8:24] = True
