@@ -347,6 +347,19 @@ def _device_init_hangs() -> bool:
         return True
 
 
+def _apply_cpu_fallback_env(env) -> None:
+    '''Mutate ``env`` for the degraded CPU-fallback re-exec: tiny model
+    shape, short run, no extras — a labeled record instead of a hang.'''
+    env['BENCH_CPU_FALLBACK'] = '1'
+    env['JAX_PLATFORMS'] = 'cpu'
+    env.setdefault('BENCH_TINY', '1')  # CPU can't run the R50
+    env.pop('BENCH_MODEL', None)       # R50 weights can't run either
+    env.setdefault('BENCH_FRAMES', '300')
+    env.setdefault('BENCH_WARM_FRAMES', '100')
+    env.setdefault('BENCH_BATCH', '20')
+    env.setdefault('BENCH_NO_EXTRAS', '1')
+
+
 if __name__ == '__main__':
     # a benchmark record must exist even when the device tunnel is dead:
     # fall back to the CPU backend on a small frame count and say so in the
@@ -354,14 +367,7 @@ if __name__ == '__main__':
     if (not os.environ.get('BENCH_CPU_FALLBACK')
             and os.environ.get('JAX_PLATFORMS', '') != 'cpu'
             and _device_init_hangs()):
-        os.environ['BENCH_CPU_FALLBACK'] = '1'
-        os.environ['JAX_PLATFORMS'] = 'cpu'
-        os.environ.setdefault('BENCH_TINY', '1')  # CPU can't run the R50
-        os.environ.pop('BENCH_MODEL', None)       # R50 weights can't run either
-        os.environ.setdefault('BENCH_FRAMES', '300')
-        os.environ.setdefault('BENCH_WARM_FRAMES', '100')
-        os.environ.setdefault('BENCH_BATCH', '20')
-        os.environ.setdefault('BENCH_NO_EXTRAS', '1')
+        _apply_cpu_fallback_env(os.environ)
         os.execv(sys.executable, [sys.executable] + sys.argv)
     if os.environ.get('JAX_PLATFORMS', '') == 'cpu':
         # the axon site hook force-prepends the device platform over the env
