@@ -16,6 +16,10 @@ from moseq2_detectron_extract_tpu.models.matcher import (match_anchors_to_gt,
                                                          subsample_labels)
 from moseq2_detectron_extract_tpu.ops.nms import batched_nms_keep_mask
 
+# default for select_proposals' per-level pre-NMS clamp (see its docstring);
+# module-level so A/B harnesses can toggle the unclamped baseline
+CLAMP_LEVEL_K = True
+
 
 class RPNHead(nn.Module):
     '''Shared 3x3 conv + 1x1 objectness / 1x1 anchor-deltas heads.'''
@@ -45,7 +49,7 @@ def select_proposals(anchors_per_level: Sequence[jnp.ndarray],
                      image_size: Tuple[int, int],
                      pre_nms_topk: int, post_nms_topk: int,
                      nms_thresh: float, box_reg_weights,
-                     global_cap: int = None):
+                     global_cap: int = None, _clamp_level_k: bool = None):
     '''Single-image proposal selection -> (boxes (P, 4), scores (P,), valid (P,)).
 
     P = post_nms_topk (static). Mirrors D2 find_top_rpn_proposals: per-level
@@ -61,12 +65,24 @@ def select_proposals(anchors_per_level: Sequence[jnp.ndarray],
     candidates). The IoU matrix shrinks (n_levels*pre_topk)^2 ->
     cap^2 — 25x less NMS memory traffic at the production shape.
     '''
+    # with a global cap, a candidate outside its level's top-``cap`` can
+    # only enter the global top-``cap`` pool if higher-scored SAME-level
+    # candidates decode to empty boxes (validity is applied at the global
+    # selection) — clamping the per-level pre-NMS k to the cap is exact
+    # whenever no level's top-``cap`` contains an empty decoded box (the
+    # overwhelmingly common case; bit-identity on the production workload
+    # verified in benchmarks/PROPOSAL_AB.md Run C). 2.5x smaller global
+    # top_k input at the production 1000/level setting.
+    if _clamp_level_k is None:
+        _clamp_level_k = CLAMP_LEVEL_K
+    level_k = pre_nms_topk if global_cap is None or not _clamp_level_k \
+        else min(pre_nms_topk, global_cap)
     cand_boxes, cand_scores, cand_levels, cand_valid = [], [], [], []
     for level, (anchors, logits, deltas) in enumerate(
             zip(anchors_per_level, logits_per_level, deltas_per_level)):
         flat_logits = logits.reshape(-1).astype(jnp.float32)
         flat_deltas = deltas.reshape(-1, 4).astype(jnp.float32)
-        k = min(pre_nms_topk, flat_logits.shape[0])
+        k = min(level_k, flat_logits.shape[0])
         top_scores, top_idx = jax.lax.top_k(flat_logits, k)
         top_anchors = anchors[top_idx]
         top_deltas = flat_deltas[top_idx]

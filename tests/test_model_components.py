@@ -96,6 +96,23 @@ class TestSelectProposalsGlobalCap:
         np.testing.assert_allclose(np.asarray(s0), np.asarray(s1))
         np.testing.assert_allclose(np.asarray(b0), np.asarray(b1))
 
+    @pytest.mark.parametrize('seed', [0, 5])
+    def test_level_k_clamp_exact(self, seed):
+        # with a global cap, per-level pre-NMS k beyond the cap never reaches
+        # the candidate pool (absent empty decoded boxes in a level's
+        # top-cap): the clamped fast path must equal the unclamped one
+        fn, anchors, logits, deltas = self._random_inputs(
+            seed, n_anchors=(256, 128, 64))
+        kwargs = dict(image_size=(256, 256), pre_nms_topk=128,
+                      post_nms_topk=16, nms_thresh=0.7,
+                      box_reg_weights=(1.0, 1.0, 1.0, 1.0), global_cap=48)
+        b0, s0, v0 = fn(anchors, logits, deltas, _clamp_level_k=False,
+                        **kwargs)
+        b1, s1, v1 = fn(anchors, logits, deltas, **kwargs)
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1))
+        np.testing.assert_allclose(np.asarray(b0), np.asarray(b1))
+
     def test_tied_scores_keep_order(self):
         fn, anchors, logits, deltas = self._random_inputs(3)
         # quantize scores so ties are common; the stable top_k + index
