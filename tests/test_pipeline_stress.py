@@ -174,3 +174,83 @@ class TestAccounting:
         run_pipeline(p)
         assert relay.busy_seconds >= 20 * 0.003 * 0.9
         assert relay.items_processed == 20
+
+
+class RingProducer(PipelineStep):
+    '''Forwards blocks from a small buffer ring mid-process (the
+    PreviewVideoWriterStep pattern: per-block _forward of a reused slot).'''
+
+    RING = 4  # queue cap 2 + 1 in consumer + 1 being written
+
+    def __init__(self, n_chunks=40, blocks_per_chunk=4, **kwargs):
+        super().__init__(config={}, **kwargs)
+        self.n_chunks = n_chunks
+        self.blocks_per_chunk = blocks_per_chunk
+        self.slots = [[None] for _ in range(self.RING)]
+        self.block_no = 0
+
+    def generate(self):
+        for c in range(self.n_chunks):
+            yield {'chunk': c}
+
+    # producer steps use generate(); this one ALSO forwards per block when
+    # used as a mid-pipeline step
+    def process(self, data):
+        for b in range(self.blocks_per_chunk):
+            slot = self.slots[self.block_no % self.RING]
+            slot[0] = self.block_no  # "render" into the reused buffer
+            self._forward({'block_no': self.block_no, 'slot': slot})
+            self.block_no += 1
+        return None
+
+
+class SlowRingConsumer(PipelineStep):
+    '''Asserts each received slot still holds ITS block (no aliasing) even
+    while consuming far slower than the producer renders.'''
+
+    def __init__(self, **kwargs):
+        super().__init__(config={}, **kwargs)
+        self.checked = []
+        self.aliased = []
+
+    def process(self, data):
+        time.sleep(0.002)  # slow encoder
+        if data['slot'][0] != data['block_no']:
+            self.aliased.append((data['block_no'], data['slot'][0]))
+        time.sleep(0.002)  # stamp/write while holding the slot
+        if data['slot'][0] != data['block_no']:
+            self.aliased.append((data['block_no'], data['slot'][0]))
+        self.checked.append(data['block_no'])
+        return None
+
+
+class TestPreviewRingInvariant:
+    '''The preview render step hands its ring-buffer composites to the
+    encode step by reference (pipeline/steps.py): with queue cap 2, a
+    4-slot ring must never be overwritten while the encoder holds it.'''
+
+    def test_slots_never_alias_under_slow_consumer(self):
+        pipeline = Pipeline(queue_size=2, show_progress=False)
+        prod = pipeline.add_step('p', Producer, n=40)
+        ring = pipeline.add_step('ring', RingProducer)
+        cons = pipeline.add_step('enc', SlowRingConsumer)
+        pipeline.link(prod, ring)
+        pipeline.link(ring, cons)
+        run_pipeline(pipeline)
+        assert cons.aliased == []
+        assert cons.checked == list(range(40 * 4))
+
+    def test_ring_of_three_would_alias(self):
+        # sanity check that the invariant test has teeth: a 3-slot ring
+        # (queue cap 2 + 1 in consumer, nothing for the writer) DOES alias
+        class SmallRing(RingProducer):
+            RING = 2
+
+        pipeline = Pipeline(queue_size=2, show_progress=False)
+        prod = pipeline.add_step('p', Producer, n=40)
+        ring = pipeline.add_step('ring', SmallRing)
+        cons = pipeline.add_step('enc', SlowRingConsumer)
+        pipeline.link(prod, ring)
+        pipeline.link(ring, cons)
+        run_pipeline(pipeline)
+        assert cons.aliased != []
