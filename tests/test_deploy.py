@@ -180,21 +180,25 @@ class TestNpzModelDir:
         assert leaves and all(np.isfinite(l).all() for l in leaves)
         assert cfg.image_size == 256
 
-    def test_committed_fast_variant_loads(self):
-        '''The fast-variant artifact (192 canvas / 64 proposals — trained +
-        AP-gated on chip, benchmarks/FAST_VARIANT.md) must stay loadable
-        with its deployment config intact.'''
+    @pytest.mark.parametrize('name,canvas,topk,cap', [
+        ('bench_model_fast', 192, 64, 256),
+        ('bench_model_fast160', 160, 48, 192),
+    ])
+    def test_committed_fast_variant_loads(self, name, canvas, topk, cap):
+        '''The fast-variant artifacts (trained + AP-gated on chip,
+        benchmarks/FAST_VARIANT.md) must stay loadable with their
+        deployment configs intact.'''
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        d = os.path.join(repo, 'benchmarks', 'bench_model_fast')
+        d = os.path.join(repo, 'benchmarks', name)
         if not os.path.exists(os.path.join(d, 'params_f16.npz')):
-            pytest.skip('no committed fast-variant model')
+            pytest.skip(f'no committed {name}')
         from moseq2_detectron_extract_tpu.models.checkpoint import load_model_dir
         cfg, params, _ = load_model_dir(d)
         leaves = jax.tree_util.tree_leaves(params)
         assert leaves and all(np.isfinite(l).all() for l in leaves)
-        assert cfg.image_size == 192
-        assert cfg.rpn_post_nms_topk_test == 64
-        assert cfg.rpn_nms_global_cap == 256
-        # the fast pyramid stacks to an unaligned h_total (90) — keep the
-        # kernel's padding contract visible here
+        assert cfg.image_size == canvas
+        assert cfg.rpn_post_nms_topk_test == topk
+        assert cfg.rpn_nms_global_cap == cap
+        # the fast pyramids stack to an unaligned h_total (90 / 75) — keep
+        # the kernel's padding contract visible here
         assert sum(cfg.image_size // (4 * 2 ** l) for l in range(4)) % 8 != 0
