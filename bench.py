@@ -327,24 +327,27 @@ def main():
         'd2h_ceiling_fps': round(ceilings['d2h_fps'], 2),
         'd2h_mb_s': round(ceilings['d2h_mb_s'], 2),
     }
-    # the committed AP-gated fast variant (192 canvas / 64 proposals,
-    # benchmarks/FAST_VARIANT.md): record its device throughput alongside
-    # the faithful number. Guarded — never let a variant failure (or a
-    # cold compile on a degraded tunnel) take down the record.
-    fast_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            'benchmarks', 'bench_model_fast')
-    if (os.path.exists(os.path.join(fast_dir, 'params_f16.npz'))
-            and not os.environ.get('BENCH_NO_FAST_VARIANT')):
+    # the committed AP-gated fast variants (192/64 and the north-star
+    # 160/48, benchmarks/FAST_VARIANT.md): record their device throughput
+    # alongside the faithful number. Guarded — never let a variant failure
+    # (or a cold compile on a degraded tunnel) take down the record.
+    for key, name in (('fast_variant_device_fps', 'bench_model_fast'),
+                      ('fast160_variant_device_fps', 'bench_model_fast160')):
+        fast_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                'benchmarks', name)
+        if (not os.path.exists(os.path.join(fast_dir, 'params_f16.npz'))
+                or os.environ.get('BENCH_NO_FAST_VARIANT')):
+            continue
         try:
             from moseq2_detectron_extract_tpu.models.predictor import \
                 Predictor as _P
             fast_pred = _P.from_model_dir(fast_dir, batch_size=batch_size,
                                           score_threshold=0.5)
-            extras['fast_variant_device_fps'] = round(
+            extras[key] = round(
                 measure_device_infer_fps(fast_pred, frame_shape,
                                          nframes=batch_size * 4), 2)
         except Exception as exc:  # noqa: BLE001
-            extras['fast_variant_device_fps'] = f'failed: {str(exc)[:120]}'
+            extras[key] = f'failed: {str(exc)[:120]}'
 
     print(json.dumps(extras), flush=True)
 
