@@ -126,6 +126,13 @@ def extract_session(session: Session, config: dict) -> str:
                 'busy_s': round(step.busy_seconds, 3),
                 'cpu_s': round(step.cpu_seconds, 3),
                 'chunks': step.items_processed,
+                # sub-stage wall timers where a stage keeps them (select
+                # NMS-wait vs host loop, preview marshal vs render): these
+                # discriminate device/tunnel waits from host compute in the
+                # bench record without a human reading the logs
+                **({'sub_times': {k: round(v, 3)
+                                  for k, v in step.sub_times.items()}}
+                   if getattr(step, 'sub_times', None) else {}),
             } for step in pipeline.steps
         }
 

@@ -8,6 +8,7 @@ preview writer :358-436,519-555).
 import datetime
 import logging
 import os
+import re
 import shutil
 import subprocess
 import tarfile
@@ -145,8 +146,10 @@ def has_cv2_ffmpeg() -> bool:
     if _CV2_FFMPEG is None:
         try:
             import cv2
-            _CV2_FFMPEG = 'FFMPEG:' in cv2.getBuildInformation() and \
-                'FFMPEG:                      YES' in cv2.getBuildInformation()
+            # column alignment of the build-info table varies across OpenCV
+            # builds — match the row tolerantly, not an exact-width substring
+            _CV2_FFMPEG = re.search(
+                r'FFMPEG:\s+YES', cv2.getBuildInformation()) is not None
         except ImportError:  # pragma: no cover
             _CV2_FFMPEG = False
     return _CV2_FFMPEG

@@ -518,10 +518,14 @@ class PreviewVideoWriterStep(PipelineStep):
         # allocation per 128-frame block (~200 MB of cold pages) dominated
         # the render on the 1-core host (benchmarks/preview_attrib.py).
         # Composite buffers ride the queue to the encode step, so they
-        # rotate through a small ring: at most queue_size(2) blocks queued
-        # + 1 being encoded + 1 being rendered are live at once
+        # rotate through a ring sized from the actual links: per consumer
+        # queue, maxsize blocks queued + 1 being consumed, + 1 being
+        # rendered here (derived, not assumed — a larger queue_size or an
+        # extra consumer grows the ring instead of corrupting frames)
         self._bufs: dict = {}
-        self._ring = 4
+        self._ring = 1 + sum(
+            (q.maxsize if q.maxsize > 0 else 8) + 1
+            for q in self.output_queues)
         self._block_no = 0
 
     def _buf(self, name, shape, slot: int = 0):

@@ -113,6 +113,41 @@ class TestSelectProposalsGlobalCap:
         np.testing.assert_allclose(np.asarray(s0), np.asarray(s1))
         np.testing.assert_allclose(np.asarray(b0), np.asarray(b1))
 
+    def test_level_k_clamp_empty_box_edge_case(self):
+        # pins the DOCUMENTED deviation scenario of the clamp (rpn.py:68-75):
+        # when a level's top-``cap`` scored candidates decode to EMPTY boxes,
+        # valid candidates ranked below them reach the global pool only in
+        # the unclamped run. The clamp trades those away; this test makes the
+        # assumption executable so a future NMS/validity refactor that widens
+        # (or silently changes) the deviation fires here instead of shipping.
+        from moseq2_detectron_extract_tpu.models.rpn import select_proposals
+        cap = 32
+        # top-`cap` scores all decode to boxes fully outside the image
+        # (clip -> zero area); the next 32 are valid in-image boxes
+        out_centers = np.full((cap, 2), -50.0)
+        in_centers = np.stack([np.linspace(40, 200, 32),
+                               np.linspace(40, 200, 32)], axis=1)
+        centers = np.concatenate([out_centers, in_centers])
+        sizes = np.full((64, 2), 20.0)
+        anchors = [jnp.asarray(np.concatenate(
+            [centers - sizes / 2, centers + sizes / 2], axis=1), jnp.float32)]
+        logits = [jnp.asarray(np.concatenate(
+            [np.full(cap, 5.0), np.full(32, 1.0)]), jnp.float32)]
+        deltas = [jnp.zeros((64, 4), jnp.float32)]
+        kwargs = dict(image_size=(256, 256), pre_nms_topk=64, post_nms_topk=8,
+                      nms_thresh=0.7, box_reg_weights=(1.0, 1.0, 1.0, 1.0),
+                      global_cap=cap)
+        b0, s0, v0 = select_proposals(anchors, logits, deltas,
+                                      _clamp_level_k=False, **kwargs)
+        b1, s1, v1 = select_proposals(anchors, logits, deltas, **kwargs)
+        # unclamped: the valid boxes below the empties reach the pool
+        assert int(np.asarray(v0).sum()) == 8
+        # clamped: the level contributes only the empty top-cap boxes -> no
+        # valid proposals. Invalid rows must still be well-formed zeros.
+        assert int(np.asarray(v1).sum()) == 0
+        np.testing.assert_array_equal(np.asarray(b1), 0.0)
+        np.testing.assert_array_equal(np.asarray(s1), 0.0)
+
     def test_tied_scores_keep_order(self):
         fn, anchors, logits, deltas = self._random_inputs(3)
         # quantize scores so ties are common; the stable top_k + index

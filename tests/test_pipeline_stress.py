@@ -254,3 +254,27 @@ class TestPreviewRingInvariant:
         pipeline.link(ring, cons)
         run_pipeline(pipeline)
         assert cons.aliased != []
+
+
+class TestPreviewRingDerivation:
+    '''The real PreviewVideoWriterStep must DERIVE its ring from its links
+    (queue maxsize + consumers), not assume queue_size==2 (ADVICE r4).'''
+
+    @pytest.mark.parametrize('maxsize,consumers,expected', [
+        (2, 1, 4),   # the production shape: 2 queued + 1 encoding + 1 rendering
+        (5, 1, 7),   # larger queue grows the ring
+        (2, 2, 7),   # a sibling consumer grows the ring
+    ])
+    def test_ring_matches_links(self, maxsize, consumers, expected):
+        import queue
+
+        from moseq2_detectron_extract_tpu.pipeline.steps import \
+            PreviewVideoWriterStep
+        step = PreviewVideoWriterStep.__new__(PreviewVideoWriterStep)
+        step.config = {'min_height': 0, 'max_height': 100, 'roi': None}
+        step.output_queues = [queue.Queue(maxsize=maxsize)
+                              for _ in range(consumers)]
+        step.progress = None
+        step.step_name = 'preview'
+        PreviewVideoWriterStep.initialize(step)
+        assert step._ring == expected

@@ -141,6 +141,32 @@ class TestTrainStep:
         end = float(sched(95_000))
         assert end == pytest.approx(cfg.base_lr * cfg.lr_gamma ** 3, rel=1e-4)
 
+    def test_lr_schedule_at_exact_boundaries(self):
+        # pins WarmupMultiStepLR's boundary semantics (reference
+        # m2de/model/config.py:60-68: steps (70k,80k,90k), gamma 0.05):
+        # each decay engages AT its boundary step (step >= boundary), and
+        # boundary-1 still rides the previous plateau. A compressed
+        # schedule (the on-chip exercise in APREPORT.md) uses the same
+        # function, so these anchors cover it too.
+        cfg = ModelConfig()
+        sched = lr_schedule(cfg)
+        for i, boundary in enumerate(cfg.lr_steps):
+            before = float(sched(boundary - 1))
+            at = float(sched(boundary))
+            assert before == pytest.approx(cfg.base_lr * cfg.lr_gamma ** i,
+                                           rel=1e-4)
+            assert at == pytest.approx(cfg.base_lr * cfg.lr_gamma ** (i + 1),
+                                       rel=1e-4)
+        # compressed variant: same ratios at 2k-iter scale
+        ccfg = ModelConfig(max_iter=2000, lr_steps=(1400, 1600, 1800),
+                           warmup_iters=100)
+        csched = lr_schedule(ccfg)
+        assert float(csched(1399)) == pytest.approx(ccfg.base_lr, rel=1e-4)
+        assert float(csched(1400)) == pytest.approx(
+            ccfg.base_lr * ccfg.lr_gamma, rel=1e-4)
+        assert float(csched(1999)) == pytest.approx(
+            ccfg.base_lr * ccfg.lr_gamma ** 3, rel=1e-4)
+
 
 class TestCheckpointing:
     def test_save_load_round_trip(self, tmp_path):
