@@ -20,7 +20,30 @@ import numpy as np
 WIDTH, HEIGHT = 512, 424
 FLOOR_DEPTH = 700.0
 MOUSE_HEIGHT = 50.0
+# head bump: a taller disc at the first-keypoint end of the body axis. A
+# symmetric ellipse leaves tip-to-tail keypoint order 180-degree ambiguous
+# (keypoint AP plateaus near 33 no matter how good the head is — r4
+# VERDICT items 3/5); real mice are asymmetric, and the bump makes keypoint
+# AP a meaningful gate metric (same device geometry: the model program is
+# shape-identical, so throughput numbers are unaffected).
+HEAD_HEIGHT = 18.0     # extra height above the body
+HEAD_AXIS_FRAC = 0.6   # bump center at -0.6 * major axis (keypoint-0 end)
+MOUSE_AXES = (40, 18)  # ellipse semi-axes in arena pixels
 BASELINE_FPS = 5000.0
+
+
+def draw_mouse(canvas_shape, cx, cy, ang_deg, axes=MOUSE_AXES):
+    '''(body_mask, head_mask) uint8 for one synthetic mouse: rotated ellipse
+    body + head bump disc at the keypoint-0 end of the major axis.'''
+    import cv2
+    body = np.zeros(canvas_shape, dtype='uint8')
+    cv2.ellipse(body, (int(cx), int(cy)), axes, ang_deg, 0, 360, 1, -1)
+    ca, sa = np.cos(np.radians(ang_deg)), np.sin(np.radians(ang_deg))
+    hx = cx - HEAD_AXIS_FRAC * axes[0] * ca
+    hy = cy - HEAD_AXIS_FRAC * axes[0] * sa
+    head = np.zeros(canvas_shape, dtype='uint8')
+    cv2.circle(head, (int(hx), int(hy)), max(int(axes[1] * 1.25), 4), 1, -1)
+    return body, head
 
 
 def make_background():
@@ -48,9 +71,9 @@ def write_session(dirname, nframes, seed=0):
                 cx = int(WIDTH / 2 + 100 * np.cos(2 * np.pi * t))
                 cy = int(HEIGHT / 2 + 80 * np.sin(2 * np.pi * t))
                 ang = 360.0 * t
-                mouse = np.zeros((HEIGHT, WIDTH), dtype='uint8')
-                cv2.ellipse(mouse, (cx, cy), (40, 18), ang, 0, 360, 1, -1)
-                frames[i][mouse > 0] = FLOOR_DEPTH - MOUSE_HEIGHT
+                body, head = draw_mouse((HEIGHT, WIDTH), cx, cy, ang)
+                frames[i][body > 0] = FLOOR_DEPTH - MOUSE_HEIGHT
+                frames[i][head > 0] = FLOOR_DEPTH - MOUSE_HEIGHT - HEAD_HEIGHT
             frames = frames + rng.normal(0, 1.0, frames.shape)
             fh.write(np.clip(frames, 0, 65535).astype('<u2').tobytes())
     with open(os.path.join(dirname, 'metadata.json'), 'w') as fh:

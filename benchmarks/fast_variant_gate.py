@@ -28,6 +28,11 @@ import numpy as np
 SEED = int(os.environ.get('SEED', 7000))
 N_EVAL = int(os.environ.get('N_EVAL', 64))
 AP_TOL = float(os.environ.get('AP_TOL', 2.0))
+# absolute keypoint floor (VERDICT r4 item 3): with the head-bump bench
+# mice (bench.draw_mouse) keypoint order is learnable, so BOTH models must
+# clear this AP50 — a relative-only gate would pass two equally-broken
+# keypoint heads. Set 0 to disable (pre-bump workloads).
+KP_AP50_FLOOR = float(os.environ.get('KP_AP50_FLOOR', 90.0))
 
 
 def eval_model(model_dir):
@@ -92,11 +97,14 @@ def main():
     base_rate, base_score, base_ap = eval_model(base_dir)
     fast_rate, fast_score, fast_ap = eval_model(fast_dir)
 
-    gate = fast_rate >= 1.0 and all(
-        fast_ap[t]['AP50'] >= base_ap[t]['AP50'] - AP_TOL
-        for t in ('bbox', 'segm', 'keypoints'))
+    gate = (fast_rate >= 1.0
+            and all(fast_ap[t]['AP50'] >= base_ap[t]['AP50'] - AP_TOL
+                    for t in ('bbox', 'segm', 'keypoints'))
+            and fast_ap['keypoints']['AP50'] >= KP_AP50_FLOOR
+            and base_ap['keypoints']['AP50'] >= KP_AP50_FLOOR)
     print(json.dumps({
         'seed': SEED, 'n_eval': N_EVAL, 'ap_tol': AP_TOL,
+        'kp_ap50_floor': KP_AP50_FLOOR,
         'base': {'model': base_dir, 'detection_rate': round(base_rate, 4),
                  'mean_top_score': round(base_score, 4), **base_ap},
         'fast': {'model': fast_dir, 'detection_rate': round(fast_rate, 4),

@@ -28,10 +28,14 @@ def make_inputs(n, arena=404, crop=80, k=8):
     yy, xx = np.mgrid[:crop, :crop]
     mask1 = (((yy - crop / 2) ** 2 + (xx - crop / 2) ** 2) < 30 ** 2)
     masks = np.broadcast_to(mask1, (n, crop, crop)).astype(np.uint8).copy()
-    arena_masks = np.zeros((n, arena, arena), np.uint8)
+    # production ships the arena overlay as 160px window crops + origins
+    # (ops/instances.py pack_masks_cropped), not full-frame masks
+    win = 160
+    arena_crops = np.zeros((n, win, win), np.uint8)
+    arena_crops[:, win // 2 - 30:win // 2 + 30, win // 2 - 30:win // 2 + 30] = 1
     cy = (arena / 2 + 60 * np.sin(np.arange(n) / 50)).astype(int)
-    for i in range(n):  # moving mouse-sized blob
-        arena_masks[i, cy[i] - 30:cy[i] + 30, 180:240] = 1
+    arena_origins = np.stack([np.clip(cy - win // 2, 0, arena - win),
+                              np.full(n, 180 - win // 2)], axis=1).astype('int32')
     ref_kpts = np.stack([rng.uniform(150, 260, (n, k)),
                          rng.uniform(150, 260, (n, k)),
                          np.full((n, k), 2.0)], axis=-1)
@@ -41,8 +45,8 @@ def make_inputs(n, arena=404, crop=80, k=8):
     roi = np.zeros((arena, arena), np.uint8)
     roi[10:-10, 10:-10] = 1
     return dict(chunk=chunk, cropped=cropped, masks=masks,
-                arena_masks=arena_masks, ref_kpts=ref_kpts, boxes=boxes,
-                rot_kpts=rot_kpts, roi=roi)
+                arena_crops=arena_crops, arena_origins=arena_origins,
+                ref_kpts=ref_kpts, boxes=boxes, rot_kpts=rot_kpts, roi=roi)
 
 
 def run(inp, out_path, block=128):
@@ -74,7 +78,9 @@ def run(inp, out_path, block=128):
         m = len(inp['chunk'][s:e])
         ah = inp['chunk'].shape[1]
         ch = int(inp['masks'].shape[1] * 1.5)
-        arena = arena_view.render(inp['chunk'][s:e], masks=inp['arena_masks'][s:e],
+        arena = arena_view.render(inp['chunk'][s:e],
+                                  mask_crops=inp['arena_crops'][s:e],
+                                  mask_origins=inp['arena_origins'][s:e],
                                   keypoints=inp['ref_kpts'][s:e],
                                   boxes=inp['boxes'][s:e],
                                   out=buf('arena', (m, ah, ah, 3)))

@@ -28,9 +28,46 @@ import bench
 
 N_IMAGES = int(os.environ.get('N_IMAGES', 192))
 MAX_STEPS = int(os.environ.get('STEPS', 4000))
+MIN_STEPS = int(os.environ.get('MIN_STEPS', 0))
 EVAL_EVERY = int(os.environ.get('EVAL_EVERY', 250))
 TARGET_RATE = float(os.environ.get('TARGET_RATE', 0.99))
+# keypoint-teeth stopping criterion (VERDICT r4 item 3): with the head-bump
+# mice the tip-to-tail order is learnable, so the trainer holds out a fresh
+# pose set and only stops once keypoint AP50 clears this floor too (set 0
+# to restore the detection-rate-only behavior)
+TARGET_KP_AP50 = float(os.environ.get('TARGET_KP_AP50', 90.0))
+N_EVAL_AP = int(os.environ.get('N_EVAL_AP', 48))
 SEED = 0
+
+
+def make_items(data):
+    '''GT DataItems for the evaluator, straight from the synthetic arrays.'''
+    items = []
+    for i in range(len(data['image'])):
+        m = data['masks'][i, 0]
+        ys, xs = np.where(m)
+        items.append({
+            'height': m.shape[0], 'width': m.shape[1], 'file_name': '<mem>',
+            'annotations': [{
+                'bbox': [float(xs.min()), float(ys.min()),
+                         float(xs.max() + 1), float(ys.max() + 1)],
+                'segmentation': m,
+                'keypoints': data['keypoints'][i, 0].ravel().tolist(),
+            }],
+        })
+    return items
+
+
+def eval_ap(cfg, params, eval_data, eval_items):
+    '''COCO AP (bbox/segm/keypoints) on a held-out bench-view pose set.'''
+    from moseq2_detectron_extract_tpu.models.eval import evaluate_predictions
+    from moseq2_detectron_extract_tpu.models.predictor import Predictor
+    predictor = Predictor(cfg, params, batch_size=min(len(eval_items), 24),
+                          score_threshold=0.5)
+    out = predictor(np.clip(eval_data['image'], 0, 255).astype('uint8'))
+    preds = [{k: v[i] for k, v in out.items()}
+             for i in range(len(eval_items))]
+    return evaluate_predictions(eval_items, preds, cfg.oks_sigmas)
 
 # BENCH_CANVAS overrides the model canvas (e.g. 192 for the fast inference
 # variant: ~1.8x less backbone/FPN work; min/max test sizes scale with it so
@@ -55,6 +92,13 @@ def config_overrides():
     cap = os.environ.get('BENCH_NMS_CAP')
     if cap:
         out['rpn_nms_global_cap'] = int(cap)
+    # BENCH_LR_STEPS="1120,1280,1440": compressed WarmupMultiStepLR decay
+    # boundaries (reference schedule ratios 70/80/90% of max_iter,
+    # m2de/model/config.py:60-68) so the gamma=0.05 step decays actually
+    # EXECUTE within a bench-scale run (VERDICT r4 item 7)
+    lr_steps = os.environ.get('BENCH_LR_STEPS')
+    if lr_steps:
+        out['lr_steps'] = tuple(int(s) for s in lr_steps.split(','))
     return out
 
 
@@ -104,10 +148,11 @@ def make_bench_view_dataset(rng, n, cfg, roi, bground, origin, side, scale):
         th = rng.uniform(0, 2 * np.pi)
         cx, cy = cx_a + rad * np.cos(th), cy_a + rad * np.sin(th)
         ang = rng.uniform(0, 360)
-        mouse = np.zeros((h, w), np.uint8)
-        cv2.ellipse(mouse, (int(cx), int(cy)), (40, 18), ang, 0, 360, 1, -1)
+        body, head = bench.draw_mouse((h, w), cx, cy, ang)
         raw = bground.copy()
-        raw[mouse > 0] = bench.FLOOR_DEPTH - bench.MOUSE_HEIGHT
+        raw[body > 0] = bench.FLOOR_DEPTH - bench.MOUSE_HEIGHT
+        raw[head > 0] = bench.FLOOR_DEPTH - bench.MOUSE_HEIGHT \
+            - bench.HEAD_HEIGHT
         raw = np.clip(raw + rng.normal(0, 1.0, raw.shape), 0, 65535)
         prepped = prep_raw_frames_host(
             raw[None].astype('<u2'), bground_im=bground, roi=roi,
@@ -119,15 +164,21 @@ def make_bench_view_dataset(rng, n, cfg, roi, bground, origin, side, scale):
                                    (1, new_side, new_side), method='bilinear')
         images[i, :new_side, :new_side] = np.asarray(resized[0])
 
-        # GT in model-view coordinates
+        # GT in model-view coordinates (body + head bump, like the raw)
         mcx, mcy = (cx - x0) * scale, (cy - y0) * scale
+        ax_a = max(int(round(bench.MOUSE_AXES[0] * scale)), 1)
+        ax_b = max(int(round(bench.MOUSE_AXES[1] * scale)), 1)
         gm = np.zeros((s, s), np.uint8)
         cv2.ellipse(gm, (int(round(mcx)), int(round(mcy))),
-                    (max(int(round(40 * scale)), 1),
-                     max(int(round(18 * scale)), 1)), ang, 0, 360, 1, -1)
-        masks[i, 0] = gm > 0
+                    (ax_a, ax_b), ang, 0, 360, 1, -1)
         ca, sa = np.cos(np.radians(ang)), np.sin(np.radians(ang))
-        t = np.linspace(-0.8 * 40 * scale, 0.8 * 40 * scale, k)
+        ghx = mcx - bench.HEAD_AXIS_FRAC * ax_a * ca
+        ghy = mcy - bench.HEAD_AXIS_FRAC * ax_a * sa
+        cv2.circle(gm, (int(round(ghx)), int(round(ghy))),
+                   max(int(ax_b * 1.25), 2), 1, -1)
+        masks[i, 0] = gm > 0
+        t = np.linspace(-0.8 * bench.MOUSE_AXES[0] * scale,
+                        0.8 * bench.MOUSE_AXES[0] * scale, k)
         keypoints[i, 0, :, 0] = mcx + t * ca
         keypoints[i, 0, :, 1] = mcy + t * sa
         keypoints[i, 0, :, 2] = 2.0
@@ -188,6 +239,13 @@ def main():
                                    origin, side, scale)
     dev = {k: jnp.asarray(v) for k, v in data.items()}
     batch_size = 8
+    # held-out AP set: fresh poses (disjoint seed), same render path
+    eval_data, eval_items = None, None
+    if TARGET_KP_AP50 > 0:
+        eval_rng = np.random.default_rng(SEED + 5000)
+        eval_data = make_bench_view_dataset(eval_rng, N_EVAL_AP, cfg, roi,
+                                            bground, origin, side, scale)
+        eval_items = make_items(eval_data)
 
     mean = jnp.asarray(cfg.pixel_mean)
     std = jnp.asarray(cfg.pixel_std)
@@ -235,12 +293,22 @@ def main():
             loss = float(np.asarray(metrics['total_loss']))
             rate, mean_score = detection_rate(cfg, state.params)
             row = {'step': step, 'loss': round(loss, 3),
+                   'lr': float(np.asarray(metrics.get('lr', np.nan))),
                    'bench_detection_rate': round(rate, 4),
                    'mean_top_score': round(mean_score, 3),
                    'elapsed_s': round(time.time() - t0, 1)}
+            kp_ok = True
+            if eval_items is not None:
+                res = eval_ap(cfg, state.params, eval_data, eval_items)
+                row.update(
+                    bbox_AP50=round(res['bbox']['AP50'], 2),
+                    segm_AP50=round(res['segm']['AP50'], 2),
+                    kp_AP50=round(res['keypoints']['AP50'], 2),
+                    kp_AP=round(res['keypoints']['AP'], 2))
+                kp_ok = row['kp_AP50'] >= TARGET_KP_AP50
             best = row
             print(json.dumps(row), flush=True)
-            if rate >= TARGET_RATE:
+            if rate >= TARGET_RATE and kp_ok and step >= MIN_STEPS:
                 print(f'TARGET REACHED at step {step}', flush=True)
                 break
 

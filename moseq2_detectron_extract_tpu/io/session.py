@@ -233,9 +233,12 @@ class Session:
         return self._roi
 
     def iterate(self, chunk_size: int = 1000, chunk_overlap: int = 0,
-                streams: Iterable[Stream] = (Stream.DEPTH,)) -> 'SessionFramesIterator':
-        '''Iterate all frames in overlapping chunks.'''
-        return SessionFramesIterator(self, chunk_size, chunk_overlap, streams)
+                streams: Iterable[Stream] = (Stream.DEPTH,),
+                block_frames: Optional[int] = None) -> 'SessionFramesIterator':
+        '''Iterate all frames in overlapping chunks. ``block_frames`` opts
+        into streamed block reads for raw depth (see SessionFramesIterator).'''
+        return SessionFramesIterator(self, chunk_size, chunk_overlap, streams,
+                                     block_frames=block_frames)
 
     def sample(self, num_samples: int, chunk_size: int = 1000,
                streams: Iterable[Stream] = (Stream.DEPTH,)) -> 'SessionFramesSampler':
@@ -260,13 +263,27 @@ class _FilterItem(TypedDict):
 
 
 class SessionFramesIterator:
-    '''Chunked in-order frame iterator with an attachable per-stream filter chain.'''
+    '''Chunked in-order frame iterator with an attachable per-stream filter chain.
+
+    ``block_frames``: opt-in streamed DEPTH loading for raw ``.dat``
+    sessions — read + filter ``block_frames`` frames at a time into the
+    chunk output instead of materializing the whole raw chunk first. A
+    1000-frame Kinect chunk is a ~430 MB raw intermediate whose single
+    pass evicts every other pipeline thread's working set on small-cache
+    hosts (measured: Read Depth 0.68 s CPU standalone vs 3.7-7.8 s inside
+    the 8-thread pipeline); a 32-frame block (~14 MB) stays LLC-resident
+    between the read and the prep pass. ONLY safe when every attached
+    DEPTH filter is per-frame (elementwise over the frame axis) — a
+    temporal filter would see block boundaries. The extraction prep chain
+    (prep_raw_frames_host) is per-frame.'''
 
     def __init__(self, session: Session, chunk_size: int, chunk_overlap: int,
-                 streams: Iterable[Stream]):
+                 streams: Iterable[Stream],
+                 block_frames: Optional[int] = None):
         self.session = session
         self.chunk_size = chunk_size
         self.chunk_overlap = chunk_overlap
+        self.block_frames = block_frames
         self.streams: List[Stream] = list(dict.fromkeys(streams).keys())
         self.batches = list(self.generate_samples())
         self.current = 0
@@ -315,6 +332,9 @@ class SessionFramesIterator:
         out = [frame_idxs]
         for stream in self.streams:
             if stream == Stream.DEPTH:
+                if self._depth_blocked_ok():
+                    out.append(self._read_depth_blocked(frame_idxs))
+                    continue
                 data = load_movie_data(self.session.depth_file, frame_idxs,
                                        frame_dims=self.session.depth_metadata['dims'],
                                        tar_object=self.session.tar)
@@ -329,6 +349,30 @@ class SessionFramesIterator:
                 raise ValueError(f'unsupported stream {stream}')
             out.append(self._apply_filters(data, stream))
         return tuple(out)
+
+    def _depth_blocked_ok(self) -> bool:
+        name = self.session.depth_file
+        name = name.name if hasattr(name, 'name') else name
+        return bool(self.block_frames) and str(name).lower().endswith('.dat')
+
+    def _read_depth_blocked(self, frame_idxs: List[int]) -> np.ndarray:
+        '''Stream read + per-frame filters in ``block_frames``-sized blocks
+        (see class docstring for when this is valid).'''
+        bs = int(self.block_frames)
+        out: Optional[np.ndarray] = None
+        for s in range(0, len(frame_idxs), bs):
+            sub = frame_idxs[s:s + bs]
+            raw = load_movie_data(self.session.depth_file, sub,
+                                  frame_dims=self.session.depth_metadata['dims'],
+                                  tar_object=self.session.tar)
+            filt = np.asarray(self._apply_filters(raw, Stream.DEPTH))
+            if out is None:
+                out = np.empty((len(frame_idxs),) + filt.shape[1:], filt.dtype)
+            out[s:s + len(sub)] = filt
+        if out is None:
+            return np.empty((0,) + tuple(self.session.depth_metadata['dims'][::-1]),
+                            np.uint8)
+        return out
 
 
 class SessionFramesSampler(SessionFramesIterator):

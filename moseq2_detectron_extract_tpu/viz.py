@@ -137,6 +137,53 @@ def draw_keypoints(image: np.ndarray, keypoints: np.ndarray,
     return image
 
 
+_SKELETON_IDX = None  # [(ia, ib, color)] resolved once for the default names
+
+
+def _skeleton_idx():
+    global _SKELETON_IDX
+    if _SKELETON_IDX is None:
+        _SKELETON_IDX = [
+            (_DEFAULT_NAME_TO_IDX[a], _DEFAULT_NAME_TO_IDX[b], color)
+            for a, b, color in default_keypoint_connection_rules
+            if a in _DEFAULT_NAME_TO_IDX and b in _DEFAULT_NAME_TO_IDX]
+    return _SKELETON_IDX
+
+
+def precompute_keypoint_draws(keypoints: np.ndarray, order: str = 'rgb'):
+    '''Block-level prep for :func:`draw_keypoints_fast`: one vectorized
+    round/validity pass over (N, K, 2+) keypoints instead of per-frame
+    numpy scalar math (the per-frame ``round``/``isfinite`` calls were
+    ~40%% of the preview keypoint-draw cost). Returns (pts, fin, colors,
+    skeleton) with pts/fin plain nested python lists.'''
+    kp = np.asarray(keypoints)
+    xy = kp[..., :2].astype(np.float64)
+    fin = np.isfinite(xy).all(axis=-1)
+    pts = np.round(np.nan_to_num(xy)).astype(np.int32).tolist()
+    colors = [_chan(default_keypoint_colors[ki % len(default_keypoint_colors)],
+                    order) for ki in range(kp.shape[1])]
+    skeleton = [(ia, ib, _chan(c, order)) for ia, ib, c in _skeleton_idx()]
+    return pts, fin.tolist(), colors, skeleton
+
+
+def draw_keypoints_fast(image: np.ndarray, pts, fin, colors, skeleton,
+                        draw_skeleton: bool = True) -> np.ndarray:
+    '''Per-frame half of the block-precomputed keypoint draw: identical
+    output to :func:`draw_keypoints` with default names (circles r=2 AA +
+    skeleton AA lines), minus the per-frame scalar overhead.'''
+    if not HAS_CV2:
+        return image
+    for ki, ok in enumerate(fin):
+        if ok:
+            cv2.circle(image, tuple(pts[ki]), 2, colors[ki], -1, cv2.LINE_AA)
+    if draw_skeleton:
+        for ia, ib, color in skeleton:
+            if fin[ia] and fin[ib]:
+                cv2.line(image, tuple(pts[ia]), tuple(pts[ib]), color, 1,
+                         cv2.LINE_AA)
+    return image
+
+
 def draw_mask_contour(image: np.ndarray, mask: np.ndarray,
                       color=(255, 255, 255)) -> np.ndarray:
     '''Outline a boolean mask on an RGB image in place.'''
@@ -338,11 +385,19 @@ class ArenaView:
     def render(self, frames: np.ndarray, masks: Optional[np.ndarray] = None,
                keypoints: Optional[np.ndarray] = None,
                boxes: Optional[np.ndarray] = None,
-               out: Optional[np.ndarray] = None) -> np.ndarray:
+               out: Optional[np.ndarray] = None,
+               mask_crops: Optional[np.ndarray] = None,
+               mask_origins: Optional[np.ndarray] = None) -> np.ndarray:
         '''frames (N, H, W) uint8 already intensity-scaled; masks (N, H, W)
         cropped-or-full instance masks; keypoints (N, K, 3) arena px;
         boxes (N, B, 4) arena px (NaN rows skipped). ``out`` (only honored
-        at scale 1.0) reuses a persistent (N, H, W, 3) uint8 buffer.'''
+        at scale 1.0) reuses a persistent (N, H, W, 3) uint8 buffer.
+
+        ``mask_crops`` (N, c, c) + ``mask_origins`` (N, 2 [y0, x0]) blend
+        the overlay from window crops without materializing full-frame
+        masks (the extraction pipeline path, ops/instances.py
+        pack_masks_cropped); equivalent to ``masks`` scattered at the
+        origins. Ignored when ``masks`` is given.'''
         video = _gray_chunk_to_rgb(
             frames, out=out if self.scale == 1.0 else None)
         if self.scale != 1.0 and HAS_CV2:
@@ -360,22 +415,48 @@ class ArenaView:
             px += alpha * (np.array((0, 255, 0), np.float32) - px)
             video[:, ys, xs] = (px + 0.5).astype(np.uint8)
         mask_color = _chan((0, 0, 255), self.order)
+        kp_draw = None
+        if keypoints is not None:
+            kp_draw = precompute_keypoint_draws(
+                np.asarray(keypoints) * [s, s, 1], order=self.order)
+        box_pts = box_ok = None
+        if boxes is not None and HAS_CV2:
+            bx = np.asarray(boxes, np.float64)
+            if bx.ndim == 2:  # (N, 4) -> one box per frame
+                bx = bx[:, None, :]
+            bx = bx * s
+            box_ok = ~np.isnan(bx).any(axis=-1)
+            box_pts = np.nan_to_num(bx).astype(np.int32).tolist()
+        use_crops = masks is None and mask_crops is not None
+        if use_crops and s != 1.0:
+            # window blending assumes unscaled geometry; reconstruct rarely
+            h, w = frames.shape[1], frames.shape[2]
+            full = np.zeros((len(mask_crops), h, w), np.uint8)
+            c = mask_crops.shape[1]
+            for i, (y0, x0) in enumerate(np.asarray(mask_origins)):
+                full[i, y0:y0 + c, x0:x0 + c] = mask_crops[i]
+            masks, use_crops = full, False
         for i in range(video.shape[0]):
             im = video[i]
-            if masks is not None:
+            if use_crops:
+                y0, x0 = mask_origins[i]
+                c = mask_crops.shape[1]
+                _blend_mask(im[y0:y0 + c, x0:x0 + c], mask_crops[i],
+                            color=mask_color)
+            elif masks is not None:
                 _blend_mask(im, masks[i], color=mask_color)
-            if boxes is not None and HAS_CV2:
-                for b, box in enumerate(np.atleast_2d(boxes[i]) * s):
-                    if np.any(np.isnan(box)):
+            if box_pts is not None:
+                for b, box in enumerate(box_pts[i]):
+                    if not box_ok[i][b]:
                         continue
-                    cv2.rectangle(im, (int(box[0]), int(box[1])),
-                                  (int(box[2]), int(box[3])), (0, 255, 0))
-                    cv2.putText(im, str(b), (int(box[0]), int(box[1])),
+                    cv2.rectangle(im, (box[0], box[1]), (box[2], box[3]),
+                                  (0, 255, 0))
+                    cv2.putText(im, str(b), (box[0], box[1]),
                                 cv2.FONT_HERSHEY_SIMPLEX, 0.4, (255, 255, 255), 1,
                                 cv2.LINE_AA)
-            if keypoints is not None:
-                draw_keypoints(im, np.asarray(keypoints[i]) * [s, s, 1],
-                               order=self.order)
+            if kp_draw is not None:
+                draw_keypoints_fast(im, kp_draw[0][i], kp_draw[1][i],
+                                    kp_draw[2], kp_draw[3])
         return video
 
     def _contour_stamp(self, h: int, w: int):
@@ -425,9 +506,11 @@ class RotatedKeypointsView:
         kpts_all = np.asarray(rot_keypoints, 'float64').copy()
         kpts_all[:, :, :2] = kpts_all[:, :, :2] * self.scale + origin
         mask_color = _chan((0, 0, 255), self.order)
+        pts, fin, colors, skeleton = precompute_keypoint_draws(
+            kpts_all, order=self.order)
         for i in range(n):
             _blend_mask(video[i], masks[i], alpha=0.7, color=mask_color)
-            draw_keypoints(video[i], kpts_all[i], order=self.order)
+            draw_keypoints_fast(video[i], pts[i], fin[i], colors, skeleton)
         return video
 
 

@@ -100,6 +100,39 @@ class TestSession:
         _, data = next(iter(it))
         assert data[0, 0, 1] == 2
 
+    @pytest.mark.parametrize('block', [1, 5, 32])
+    def test_blocked_depth_read_matches_legacy(self, tmp_path, block):
+        # block_frames streaming must be output-identical to the whole-chunk
+        # read for per-frame filters, across block sizes that divide the
+        # chunk unevenly (io/session.py:SessionFramesIterator)
+        self._make_session(str(tmp_path / 's5'))
+        session = Session(str(tmp_path / 's5' / 'depth.dat'))
+
+        def run(block_frames):
+            it = session.iterate(chunk_size=7, chunk_overlap=2,
+                                 block_frames=block_frames)
+            it.attach_filter(Stream.DEPTH,
+                             lambda f: (f // 3).astype('uint8'))
+            return [(list(idxs), np.asarray(d)) for idxs, d in it]
+
+        legacy, blocked = run(None), run(block)
+        assert len(legacy) == len(blocked)
+        for (li, ld), (bi, bd) in zip(legacy, blocked):
+            assert li == bi
+            assert bd.dtype == ld.dtype
+            np.testing.assert_array_equal(bd, ld)
+
+    def test_blocked_depth_read_tar(self, tmp_path):
+        src = str(tmp_path / 's6')
+        frames = self._make_session(src)
+        tar_path = str(tmp_path / 'session_002.tar.gz')
+        with tarfile.open(tar_path, 'w:gz') as tar:
+            for name in ['depth.dat', 'metadata.json', 'depth_ts.txt']:
+                tar.add(os.path.join(src, name), arcname=name)
+        session = Session(tar_path)
+        idxs, data = next(iter(session.iterate(chunk_size=9, block_frames=4)))
+        np.testing.assert_array_equal(data, frames[:9])
+
     def test_timestamp_mapper(self):
         mapper = TimestampMapper()
         mapper.add_timestamps('depth', np.array([0.0, 33.0, 66.0, 99.0]))

@@ -132,3 +132,58 @@ class TestStackVideosOutBuffer:
         a = np.zeros((1, 3, 4, 3), 'uint8')
         with np.testing.assert_raises(ValueError):
             viz.stack_videos([a], out=np.zeros((1, 3, 5, 3), 'uint8'))
+
+
+class TestArenaViewMaskCrops:
+    '''Window-crop overlay blending (the extraction-pipeline path) must be
+    pixel-identical to full-frame mask blending, and the fast keypoint draw
+    must match the legacy per-frame draw.'''
+
+    def _inputs(self, n=4, h=96, w=120, c=32):
+        rng = np.random.default_rng(3)
+        frames = rng.integers(0, 90, (n, h, w), dtype=np.uint8)
+        crops = np.zeros((n, c, c), np.uint8)
+        crops[:, 8:24, 6:26] = 1
+        origins = np.stack([rng.integers(0, h - c, n),
+                            rng.integers(0, w - c, n)], axis=1).astype('int32')
+        full = np.zeros((n, h, w), np.uint8)
+        for i, (y0, x0) in enumerate(origins):
+            full[i, y0:y0 + c, x0:x0 + c] = crops[i]
+        kpts = np.stack([rng.uniform(5, w - 5, (n, 8)),
+                         rng.uniform(5, h - 5, (n, 8)),
+                         np.full((n, 8), 2.0)], axis=-1)
+        kpts[0, 3] = np.nan  # a missing keypoint must be skipped identically
+        boxes = np.stack([np.full(n, 10.0), np.full(n, 12.0),
+                          np.full(n, 40.0), np.full(n, 44.0)], axis=1)[:, None]
+        boxes[1] = np.nan
+        return frames, crops, origins, full, kpts, boxes
+
+    def test_crops_equal_full_masks(self):
+        frames, crops, origins, full, kpts, boxes = self._inputs()
+        view = viz.ArenaView(None, scale=1.0)
+        a = view.render(frames.copy(), masks=full, keypoints=kpts, boxes=boxes)
+        b = view.render(frames.copy(), mask_crops=crops, mask_origins=origins,
+                        keypoints=kpts, boxes=boxes)
+        np.testing.assert_array_equal(a, b)
+
+    def test_crops_scaled_fallback(self):
+        frames, crops, origins, full, kpts, boxes = self._inputs()
+        view = viz.ArenaView(None, scale=2.0)
+        a = view.render(frames.copy(), masks=full, keypoints=kpts)
+        b = view.render(frames.copy(), mask_crops=crops, mask_origins=origins,
+                        keypoints=kpts)
+        np.testing.assert_array_equal(a, b)
+
+    def test_fast_keypoint_draw_matches_legacy(self):
+        rng = np.random.default_rng(5)
+        kpts = np.stack([rng.uniform(3, 90, (3, 8)),
+                         rng.uniform(3, 90, (3, 8)),
+                         np.full((3, 8), 2.0)], axis=-1)
+        kpts[1, 2] = np.nan
+        legacy = np.zeros((3, 96, 96, 3), np.uint8)
+        fast = np.zeros((3, 96, 96, 3), np.uint8)
+        pts, fin, colors, skeleton = viz.precompute_keypoint_draws(kpts)
+        for i in range(3):
+            viz.draw_keypoints(legacy[i], kpts[i])
+            viz.draw_keypoints_fast(fast[i], pts[i], fin[i], colors, skeleton)
+        np.testing.assert_array_equal(legacy, fast)
