@@ -96,14 +96,11 @@ def main():
             row['max_box_delta_px'] = float(np.abs(boxes - ref_boxes).max())
             row['max_kpt_delta_px'] = float(np.abs(kpts - ref_kpts).max())
 
-        dev = jax.device_put(frames)
-        jax.block_until_ready(pred(dev, return_device=True))  # device-path warm
-        t0 = time.perf_counter()
-        reps = 5
-        for _ in range(reps):
-            jax.block_until_ready(pred(dev, return_device=True))
-        row['device_fps'] = round(reps * len(frames) /
-                                  (time.perf_counter() - t0), 1)
+        # RTT-immune slope measurement of the pipeline's device program
+        # (predictor step + fused select), same method as bench.py extras
+        import bench as _bench
+        row['device_fps'] = round(_bench.measure_device_slope_fps(
+            pred, frames.shape[1:]), 1)
         results[f'topk_{topk}'] = row
         print(json.dumps({f'topk_{topk}': row}), flush=True)
 

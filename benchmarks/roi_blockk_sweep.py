@@ -58,21 +58,29 @@ def timed_slope(program, args, inner=8, lo=1):
 
 
 def main():
-    b, k, c, canvas = 64, 128, 256, 256
+    # env overrides: sweep at other deployed shapes (e.g. the fast160
+    # variant: SWEEP_K=48 SWEEP_CANVAS=160 SWEEP_BLOCKS=8,16,24,48)
+    b = int(os.environ.get('SWEEP_B', 64))
+    k = int(os.environ.get('SWEEP_K', 128))
+    c = int(os.environ.get('SWEEP_C', 256))
+    canvas = int(os.environ.get('SWEEP_CANVAS', 256))
     rng = np.random.default_rng(0)
     feats = [jnp.asarray(rng.normal(0, 1, (
         b, canvas // (4 * 2 ** l), canvas // (4 * 2 ** l), c)
     ).astype(np.float32)).astype(jnp.bfloat16) for l in range(4)]
-    cx = rng.uniform(20, 220, (b, k))
-    cy = rng.uniform(20, 220, (b, k))
-    wh = rng.uniform(10, 120, (b, k, 2))
+    r = canvas / 256.0  # box distribution scales with the canvas
+    cx = rng.uniform(20 * r, 220 * r, (b, k))
+    cy = rng.uniform(20 * r, 220 * r, (b, k))
+    wh = rng.uniform(10 * r, 120 * r, (b, k, 2))
     boxes = jnp.asarray(np.stack(
         [cx - wh[..., 0] / 2, cy - wh[..., 1] / 2,
          cx + wh[..., 0] / 2, cy + wh[..., 1] / 2], -1).astype('float32'))
 
+    blocks = tuple(int(x) for x in os.environ.get(
+        'SWEEP_BLOCKS', '8,16,32,64').split(','))
     out = {}
     ref = None
-    for block_k in (8, 16, 32, 64):
+    for block_k in blocks:
         try:
             dt = timed_slope(
                 lambda f, bx: pallas_separable_roi_align(

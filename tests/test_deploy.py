@@ -182,7 +182,7 @@ class TestNpzModelDir:
 
     @pytest.mark.parametrize('name,canvas,topk,cap', [
         ('bench_model_fast', 192, 64, 256),
-        ('bench_model_fast160', 160, 48, 192),
+        ('bench_model_fast160', 160, 16, 64),  # PROPOSAL_AB Run D shipping budget
     ])
     def test_committed_fast_variant_loads(self, name, canvas, topk, cap):
         '''The fast-variant artifacts (trained + AP-gated on chip,
