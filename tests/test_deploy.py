@@ -181,7 +181,7 @@ class TestNpzModelDir:
         assert cfg.image_size == 256
 
     @pytest.mark.parametrize('name,canvas,topk,cap', [
-        ('bench_model_fast', 192, 64, 256),
+        ('bench_model_fast', 192, 32, 128),  # PROPOSAL_AB Run E shipping budget
         ('bench_model_fast160', 160, 16, 64),  # PROPOSAL_AB Run D shipping budget
     ])
     def test_committed_fast_variant_loads(self, name, canvas, topk, cap):
