@@ -282,10 +282,44 @@ def _emit_placeholder_record():
     }), flush=True)
 
 
+def _start_wedge_watchdog():
+    '''A tunnel flake can WEDGE an in-flight jax process permanently while
+    fresh connections work (observed 2026-08-21: two runs stuck right after
+    backend init; a concurrent probe said the TPU was fine). A wedged bench
+    would otherwise burn the driver's whole capture window and leave only
+    the startup placeholder; this daemon thread emits a labeled record and
+    exits hard once the wall budget passes without a completed run.'''
+    import threading
+    budget = float(os.environ.get('BENCH_WALL_BUDGET', 1500))
+    state = {'stage': 'e2e', 'done': threading.Event()}
+
+    def fire():
+        if state['done'].wait(budget):
+            return
+        if state['stage'] == 'e2e':
+            # no headline yet: leave a labeled record, then free the window
+            print(json.dumps({
+                'metric': 'extract_throughput', 'value': 0.0,
+                'unit': 'frames/sec/chip', 'vs_baseline': 0.0,
+                'note': f'watchdog: e2e did not complete within '
+                        f'{budget:.0f}s — wedged tunnel connection suspected '
+                        '(fresh connections may still work; rerun). '
+                        'See BENCH_WALL_BUDGET.',
+            }), flush=True)
+            os._exit(3)
+        # headline already printed: exit SILENTLY so it stays the last
+        # parseable line instead of a wedge in the extras eating the window
+        os._exit(0)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return state
+
+
 def main():
     import tempfile
     import logging
     _emit_placeholder_record()
+    _watchdog_done = _start_wedge_watchdog()
     from moseq2_detectron_extract_tpu.utils.compile_cache import \
         enable_compilation_cache
     enable_compilation_cache()  # repeat runs skip the multi-minute jit compile
@@ -400,8 +434,11 @@ def main():
     if os.environ.get('BENCH_CPU_FALLBACK'):
         headline['backend'] = 'cpu-fallback (device tunnel unreachable)'
     print(json.dumps(headline), flush=True)
+    _watchdog_done['stage'] = 'extras'  # headline recorded: a wedge in the
+    # extras now exits silently at the budget instead of losing the record
 
     if os.environ.get('BENCH_NO_EXTRAS'):
+        _watchdog_done['done'].set()
         return
 
     # attribution extras: the e2e number above is tunnel-bound in this
@@ -481,6 +518,7 @@ def main():
             extras[key] = f'failed: {str(exc)[:120]}'
 
     print(json.dumps(extras), flush=True)
+    _watchdog_done['done'].set()
 
 
 def _device_init_hangs() -> bool:
